@@ -1,0 +1,225 @@
+"""Quad-store semantics tests.
+
+Scenario matrix transcribed from the reference store suite
+(/root/reference/memory_store_test.go:14-401): the canonical 7-triple
+fixture, wildcard matching, checked/unchecked add/delete including
+atomicity-on-conflict, drop, size, and Turtle round-trip. Both backends
+(in-memory DataFrame, parquet snapshot store) run the same matrix — they
+share the DataFrame-algebra operator set and must behave identically.
+"""
+
+from __future__ import annotations
+
+import io
+
+import pytest
+
+from ontograph_spark.errors import (
+    TripleAlreadyExistsError,
+    TripleDoesNotExistError,
+)
+from ontograph_spark.ontology.resources import Triple, new_triple
+from ontograph_spark.store import MemoryQuadStore, ParquetQuadStore
+from ontograph_spark.store.turtle import parse_turtle
+from ontograph_spark.terms import mk_literal, mk_resource
+
+GRAPH_URI = "https://www.ontograph.com/test-store"
+
+
+def fixture_triples(uri: str) -> list[Triple]:
+    """memory_store_test.go:19-44."""
+    return [
+        new_triple(mk_resource(uri), mk_resource(f"{uri}#rel-1"), mk_resource(f"{uri}#a")),
+        new_triple(mk_resource(uri), mk_resource(f"{uri}#rel-1"), mk_resource(f"{uri}#b")),
+        new_triple(mk_resource(uri), mk_resource(f"{uri}#rel-1"), mk_resource(f"{uri}#c")),
+        new_triple(mk_resource(f"{uri}#a"), mk_resource(f"{uri}#rel-2"), mk_resource(f"{uri}#b")),
+        new_triple(mk_resource(f"{uri}#c"), mk_resource(f"{uri}#rel-3"), mk_literal("lit1", "", "")),
+        new_triple(mk_resource(f"{uri}#c"), mk_resource(f"{uri}#rel-4"), mk_literal("lit2", "de", "")),
+        new_triple(mk_resource(f"{uri}#c"), mk_resource(f"{uri}#rel-5"), mk_literal("lit3", "", f"{uri}#datatype")),
+    ]
+
+
+@pytest.fixture(params=["memory", "parquet"])
+def store(request, spark, tmp_path):
+    if request.param == "memory":
+        s = MemoryQuadStore(spark, GRAPH_URI)
+    else:
+        s = ParquetQuadStore(spark, GRAPH_URI, str(tmp_path / "quads"), write_partitions=2)
+    s.add_triples(fixture_triples(GRAPH_URI))
+    return s
+
+
+TRIPLES = fixture_triples(GRAPH_URI)
+
+
+def as_set(triples):
+    return {t.as_tuple() for t in triples}
+
+
+def test_get_uri(store):
+    assert store.get_uri() == GRAPH_URI
+
+
+def test_get_first_match_single(store):
+    t = store.get_first_match("", mk_resource(f"{GRAPH_URI}#rel-3"), '"lit1"')
+    assert t == TRIPLES[4]
+
+
+def test_get_first_match_multiple(store):
+    t = store.get_first_match(mk_resource(GRAPH_URI), mk_resource(f"{GRAPH_URI}#rel-1"), "")
+    assert t in TRIPLES[0:3]
+
+
+def test_get_first_match_none(store):
+    assert store.get_first_match("", mk_resource(f"{GRAPH_URI}#rel-42"), "") is None
+
+
+def test_get_all_matches(store):
+    got = store.get_all_matches("", mk_resource(f"{GRAPH_URI}#rel-1"), "")
+    assert as_set(got) == as_set(TRIPLES[0:3])
+
+
+def test_get_all_matches_none(store):
+    assert store.get_all_matches("", mk_resource(f"{GRAPH_URI}#rel-1"), '"lit1"') == []
+
+
+def test_get_all_matches_full_wildcard(store):
+    assert as_set(store.get_all_matches()) == as_set(TRIPLES)
+
+
+def test_delete_all_matches(store):
+    store.delete_all_matches("", "", mk_resource(f"{GRAPH_URI}#b"))
+    got = as_set(store.get_all_triples())
+    assert TRIPLES[0].as_tuple() in got
+    assert TRIPLES[1].as_tuple() not in got
+    assert TRIPLES[3].as_tuple() not in got
+    assert as_set([TRIPLES[0], TRIPLES[2], TRIPLES[4], TRIPLES[5], TRIPLES[6]]) <= got
+
+
+def test_delete_all_matches_no_match(store):
+    store.delete_all_matches(mk_resource(f"{GRAPH_URI}#42"), "", "")
+    assert as_set(store.get_all_triples()) == as_set(TRIPLES)
+
+
+def test_add_triple(store):
+    t = new_triple(mk_resource(f"{GRAPH_URI}#new"), mk_resource(f"{GRAPH_URI}#rel-1"), '"x"')
+    store.add_triple(t)
+    assert t.as_tuple() in as_set(store.get_all_triples())
+
+
+def test_add_triple_conflict(store):
+    with pytest.raises(TripleAlreadyExistsError):
+        store.add_triple(TRIPLES[0])
+    assert as_set(store.get_all_triples()) == as_set(TRIPLES)
+
+
+def test_add_triples_atomic_rollback(store):
+    """memory_store_test.go:206-247 — a conflicting batch leaves the store
+    unchanged."""
+    fresh = new_triple(mk_resource(f"{GRAPH_URI}#n1"), mk_resource(f"{GRAPH_URI}#r"), '"v"')
+    with pytest.raises(TripleAlreadyExistsError):
+        store.add_triples([fresh, TRIPLES[2]])
+    assert as_set(store.get_all_triples()) == as_set(TRIPLES)
+
+
+def test_add_triples_duplicate_in_batch(store):
+    t = new_triple(mk_resource(f"{GRAPH_URI}#n2"), mk_resource(f"{GRAPH_URI}#r"), '"v"')
+    with pytest.raises(TripleAlreadyExistsError):
+        store.add_triples([t, t])
+    assert as_set(store.get_all_triples()) == as_set(TRIPLES)
+
+
+def test_add_triple_unchecked_idempotent(store):
+    store.add_triple_unchecked(TRIPLES[0])
+    assert store.size() == len(TRIPLES)  # no duplicate row
+
+
+def test_add_triples_unchecked(store):
+    fresh = new_triple(mk_resource(f"{GRAPH_URI}#n3"), mk_resource(f"{GRAPH_URI}#r"), '"v"')
+    store.add_triples_unchecked([fresh, TRIPLES[0], fresh])
+    got = as_set(store.get_all_triples())
+    assert got == as_set(TRIPLES) | {fresh.as_tuple()}
+    assert store.size() == len(TRIPLES) + 1
+
+
+def test_delete_triple(store):
+    store.delete_triple(TRIPLES[3])
+    assert TRIPLES[3].as_tuple() not in as_set(store.get_all_triples())
+    assert store.size() == len(TRIPLES) - 1
+
+
+def test_delete_triple_missing(store):
+    ghost = new_triple(mk_resource(f"{GRAPH_URI}#ghost"), mk_resource(f"{GRAPH_URI}#r"), '"v"')
+    with pytest.raises(TripleDoesNotExistError):
+        store.delete_triple(ghost)
+    assert as_set(store.get_all_triples()) == as_set(TRIPLES)
+
+
+def test_delete_triples_atomic_rollback(store):
+    """memory_store_test.go:317-354 — one missing triple rolls the whole
+    batch back."""
+    ghost = new_triple(mk_resource(f"{GRAPH_URI}#ghost"), mk_resource(f"{GRAPH_URI}#r"), '"v"')
+    with pytest.raises(TripleDoesNotExistError):
+        store.delete_triples([TRIPLES[0], ghost])
+    assert as_set(store.get_all_triples()) == as_set(TRIPLES)
+
+
+def test_delete_triples_repeated_row_rolls_back(store):
+    with pytest.raises(TripleDoesNotExistError):
+        store.delete_triples([TRIPLES[0], TRIPLES[0]])
+    assert as_set(store.get_all_triples()) == as_set(TRIPLES)
+
+
+def test_delete_triple_unchecked(store):
+    ghost = new_triple(mk_resource(f"{GRAPH_URI}#ghost"), mk_resource(f"{GRAPH_URI}#r"), '"v"')
+    store.delete_triple_unchecked(ghost)  # no error
+    store.delete_triple_unchecked(TRIPLES[6])
+    assert store.size() == len(TRIPLES) - 1
+
+
+def test_delete_triples_unchecked(store):
+    ghost = new_triple(mk_resource(f"{GRAPH_URI}#ghost"), mk_resource(f"{GRAPH_URI}#r"), '"v"')
+    store.delete_triples_unchecked([TRIPLES[0], ghost, TRIPLES[1]])
+    assert as_set(store.get_all_triples()) == as_set(TRIPLES[2:])
+
+
+def test_size(store):
+    assert store.size() == len(TRIPLES)
+
+
+def test_drop(store):
+    store.drop()
+    assert store.get_uri() == ""
+
+
+def test_turtle_round_trip(store):
+    """memory_store_test.go:363-394 — serialize, reparse, compare sets."""
+    buf = io.StringIO()
+    store.serialize_to_turtle(buf, pretty=False)
+    base, parsed = parse_turtle(buf.getvalue())
+    assert {tuple(t) for t in parsed} == as_set(TRIPLES)
+
+
+def test_turtle_pretty_has_prefixes(store):
+    buf = io.StringIO()
+    store.serialize_to_turtle(buf, pretty=True)
+    text = buf.getvalue()
+    assert f"@base <{GRAPH_URI}> ." in text
+    assert "@prefix rdf:" in text
+    # graph-namespace URIs are rewritten to the empty prefix
+    assert ":rel-1" in text
+
+
+def test_parquet_snapshot_history(spark, tmp_path):
+    s = ParquetQuadStore(spark, GRAPH_URI, str(tmp_path / "q2"), write_partitions=2)
+    s.add_triples(fixture_triples(GRAPH_URI)[:2])
+    s.add_triple(fixture_triples(GRAPH_URI)[2])
+    hist = s.history()
+    assert len(hist) == 2
+    assert hist[-1]["rows"] == 3
+    assert hist[-1]["parent"] == hist[0]["snapshot"]
+    # a fresh handle over the same root sees the committed state
+    s2 = ParquetQuadStore(spark, GRAPH_URI, str(tmp_path / "q2"))
+    assert s2.size() == 3
+    expired = s.expire_snapshots(keep=1)
+    assert expired and s2.size() == 3
