@@ -1,0 +1,377 @@
+"""KG construction: repo table → canonicalized quad DataFrame.
+
+The end-to-end declarative plan (north rule: triple extraction → entity
+linking → canonicalization → graph materialize):
+
+1. **ingest** — add the per-row ``sha256(content)`` invariant column
+   (``F.sha2``, JVM-side) and mint deterministic IRIs:
+   ``ns#<kind>-sha256(key)`` — namespace + sha256 minting matching the
+   reference's ``NewResourceTerm`` construction (triple.go:16-18): the
+   final encoded term is ``<`` + minted URI + ``>``.
+2. **extract** — mention detection (extract.py, one Arrow stage).
+3. **link** — broadcast dictionary scoring (link.py, no shuffle).
+4. **emit** — entity/edge triples as single-pass explode plans: each
+   source row produces an array of (subj, pred, obj) structs that explodes
+   into quad rows — one scan per entity family, all Catalyst expressions.
+   Emission *rules* mirror ``OntologyIndividual.ToTriples``
+   (ontology_individual.go:34-101): marker triple first, then types,
+   sameAs, object properties, data properties, labels.
+5. **canonicalize** — connected components over ``owl:sameAs`` edges +
+   broadcast rewrite (canon.py).
+
+The returned DataFrame is unexecuted — callers merge it into a store
+(``QuadStoreBase.merge_df``) or hand it to materialize.py for the salted,
+manifest-tracked write.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ontograph_spark import vocab
+from ontograph_spark.ontology.resources import (
+    OntologyClass,
+    OntologyDataProperty,
+    OntologyObjectProperty,
+)
+from ontograph_spark.pipeline.canon import canonical_mapping, rewrite_terms
+from ontograph_spark.pipeline.extract import extract_mentions
+from ontograph_spark.pipeline.link import (
+    link_imports,
+    module_dictionary,
+    same_as_pairs,
+)
+from ontograph_spark.store.base import QUAD_SCHEMA
+from ontograph_spark.terms import literal_term, mk_resource, resource_term
+
+DEFAULT_GRAPH = "https://ontograph.dev/code"
+
+#: declaration kind -> ontology class local name
+DECL_CLASS = {"func": "Function", "type": "Type", "class": "Class"}
+
+
+@dataclass(frozen=True)
+class Ont:
+    """Ontology term URIs for a given graph namespace."""
+
+    ns: str
+
+    def uri(self, local: str) -> str:
+        return f"{self.ns}#{local}"
+
+    def term(self, local: str) -> str:
+        return mk_resource(self.uri(local))
+
+
+ONT = Ont(DEFAULT_GRAPH)
+
+
+# -- minting ----------------------------------------------------------------
+
+
+def mint_uri_col(ns: str, kind: str, key: Column) -> Column:
+    """Deterministic IRI: ``ns#<kind>-sha256(key)`` (Column form)."""
+    return F.concat(F.lit(f"{ns}#{kind}-"), F.sha2(key, 256))
+
+
+def mint_uri_py(ns: str, kind: str, key: str) -> str:
+    """Pure-Python twin of :func:`mint_uri_col`."""
+    return f"{ns}#{kind}-{hashlib.sha256(key.encode()).hexdigest()}"
+
+
+def _sha_key(*cols: str) -> Column:
+    return F.concat_ws("|", *[F.col(c) for c in cols])
+
+
+# -- single-pass emitters ---------------------------------------------------
+
+
+def _emit(df: DataFrame, graph_uri: str, triples: list[tuple[Column, Column, Column]]) -> DataFrame:
+    """Explode an array of (subj,pred,obj) structs into quad rows — one
+    pass over ``df`` regardless of how many triples each row emits."""
+    arr = F.array(
+        *[
+            F.struct(s.alias("subj"), p.alias("pred"), o.alias("obj"))
+            for s, p, o in triples
+        ]
+    )
+    return (
+        df.select(F.explode(arr).alias("t"))
+        .select(
+            F.col("t.subj").alias("subj"),
+            F.col("t.pred").alias("pred"),
+            F.col("t.obj").alias("obj"),
+            F.lit(graph_uri).alias("graph"),
+        )
+    )
+
+
+def _r(uri: str) -> Column:
+    return F.lit(mk_resource(uri))
+
+
+def _xsd_str(c: Column) -> Column:
+    return literal_term(c, None, vocab.XSD_STRING)
+
+
+def ingest(files: DataFrame, graph_uri: str) -> DataFrame:
+    """Add the sha256 ingest-invariant and minted IRIs (all JVM-side)."""
+    ns = graph_uri
+    return files.select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        F.sha2(F.col("content"), 256).alias("sha256"),
+        mint_uri_col(ns, "file", _sha_key("repo", "path")).alias("file_uri"),
+        mint_uri_col(ns, "repo", F.col("repo")).alias("repo_uri"),
+    )
+
+
+def emit_file_quads(ingested: DataFrame, graph_uri: str) -> DataFrame:
+    ont = Ont(graph_uri)
+    s = resource_term("file_uri")
+    rdf_type = _r(vocab.RDF_TYPE)
+    return _emit(
+        ingested,
+        graph_uri,
+        [
+            (s, rdf_type, _r(vocab.OWL_NAMED_INDIVIDUAL)),
+            (s, rdf_type, F.lit(ont.term("File"))),
+            (s, F.lit(ont.term("inRepo")), resource_term("repo_uri")),
+            (s, F.lit(ont.term("path")), _xsd_str(F.col("path"))),
+            (s, F.lit(ont.term("lang")), _xsd_str(F.col("lang"))),
+            (s, F.lit(ont.term("commitId")), _xsd_str(F.col("commit"))),
+            (s, F.lit(ont.term("checksum")), _xsd_str(F.col("sha256"))),
+        ],
+    )
+
+
+def emit_repo_quads(ingested: DataFrame, graph_uri: str) -> DataFrame:
+    ont = Ont(graph_uri)
+    repos = ingested.select("repo", "repo_uri").distinct()
+    s = resource_term("repo_uri")
+    rdf_type = _r(vocab.RDF_TYPE)
+    return _emit(
+        repos,
+        graph_uri,
+        [
+            (s, rdf_type, _r(vocab.OWL_NAMED_INDIVIDUAL)),
+            (s, rdf_type, F.lit(ont.term("Repository"))),
+            (s, _r(vocab.RDFS_LABEL), literal_term(F.col("repo"))),
+        ],
+    )
+
+
+def emit_decl_quads(mentions: DataFrame, graph_uri: str) -> DataFrame:
+    """Function/type/class declarations: entity + ``declares`` edge."""
+    ont = Ont(graph_uri)
+    ns = graph_uri
+    decls = mentions.where(F.col("kind").isin(*DECL_CLASS.keys())).select(
+        "repo",
+        "path",
+        "kind",
+        "name",
+        mint_uri_col(ns, "decl", _sha_key("repo", "path", "kind", "name")).alias(
+            "decl_uri"
+        ),
+        mint_uri_col(ns, "file", _sha_key("repo", "path")).alias("file_uri"),
+    )
+    s = resource_term("decl_uri")
+    rdf_type = _r(vocab.RDF_TYPE)
+    cls_term = F.concat(
+        F.lit(f"<{ns}#"),
+        F.when(F.col("kind") == "func", F.lit("Function"))
+        .when(F.col("kind") == "type", F.lit("Type"))
+        .otherwise(F.lit("Class")),
+        F.lit(">"),
+    )
+    return _emit(
+        decls,
+        graph_uri,
+        [
+            (s, rdf_type, _r(vocab.OWL_NAMED_INDIVIDUAL)),
+            (s, rdf_type, cls_term),
+            (s, _r(vocab.RDFS_LABEL), literal_term(F.col("name"))),
+            (resource_term("file_uri"), F.lit(ont.term("declares")), s),
+        ],
+    )
+
+
+def emit_import_quads(linked: DataFrame, graph_uri: str) -> DataFrame:
+    """``imports`` edges from file to module (surface-name entity)."""
+    ont = Ont(graph_uri)
+    ns = graph_uri
+    rows = linked.select(
+        mint_uri_col(ns, "file", _sha_key("repo", "path")).alias("file_uri"),
+        mint_uri_col(ns, "module", F.col("name")).alias("module_uri"),
+    )
+    return _emit(
+        rows,
+        graph_uri,
+        [
+            (
+                resource_term("file_uri"),
+                F.lit(ont.term("imports")),
+                resource_term("module_uri"),
+            )
+        ],
+    )
+
+
+def emit_module_quads(linked: DataFrame, same_as: DataFrame, graph_uri: str) -> DataFrame:
+    """Module entities for every surface name and every canonical target,
+    plus the ``owl:sameAs`` alias edges."""
+    ont = Ont(graph_uri)
+    ns = graph_uri
+    names = (
+        linked.select(F.col("name"))
+        .unionByName(same_as.select(F.col("canonical").alias("name")))
+        .distinct()
+        .select("name", mint_uri_col(ns, "module", F.col("name")).alias("module_uri"))
+    )
+    s = resource_term("module_uri")
+    rdf_type = _r(vocab.RDF_TYPE)
+    entity_quads = _emit(
+        names,
+        graph_uri,
+        [
+            (s, rdf_type, _r(vocab.OWL_NAMED_INDIVIDUAL)),
+            (s, rdf_type, F.lit(ont.term("Module"))),
+            (s, _r(vocab.RDFS_LABEL), literal_term(F.col("name"))),
+        ],
+    )
+    alias_edges = _emit(
+        same_as.select(
+            mint_uri_col(ns, "module", F.col("name")).alias("src_uri"),
+            mint_uri_col(ns, "module", F.col("canonical")).alias("dst_uri"),
+        ),
+        graph_uri,
+        [
+            (
+                resource_term("src_uri"),
+                _r(vocab.OWL_SAME_AS),
+                resource_term("dst_uri"),
+            )
+        ],
+    )
+    return entity_quads.unionByName(alias_edges)
+
+
+def emit_repo_ref_quads(mentions: DataFrame, graph_uri: str) -> DataFrame:
+    ont = Ont(graph_uri)
+    ns = graph_uri
+    refs = mentions.where(F.col("kind") == "repo_ref").select(
+        mint_uri_col(ns, "file", _sha_key("repo", "path")).alias("file_uri"),
+        mint_uri_col(ns, "repo", F.col("name")).alias("ref_uri"),
+    )
+    return _emit(
+        refs,
+        graph_uri,
+        [
+            (
+                resource_term("file_uri"),
+                F.lit(ont.term("refersToRepo")),
+                resource_term("ref_uri"),
+            )
+        ],
+    )
+
+
+def schema_quads(spark: SparkSession, graph_uri: str) -> DataFrame:
+    """The ontology schema itself, emitted through the reference-shaped
+    resource dataclasses (driver-side; it is tiny)."""
+    ont = Ont(graph_uri)
+    resources = [
+        OntologyClass(uri=ont.uri("File"), label={"": "Source file"}),
+        OntologyClass(uri=ont.uri("Repository"), label={"": "Repository"}),
+        OntologyClass(uri=ont.uri("Module"), label={"": "Module"}),
+        OntologyClass(uri=ont.uri("Function"), label={"": "Function"}),
+        OntologyClass(uri=ont.uri("Type"), label={"": "Type"}),
+        OntologyClass(uri=ont.uri("Class"), label={"": "Class"}),
+        OntologyObjectProperty(
+            uri=ont.uri("inRepo"),
+            domains=[ont.uri("File")],
+            ranges=[ont.uri("Repository")],
+            is_functional=True,
+        ),
+        OntologyObjectProperty(
+            uri=ont.uri("imports"),
+            domains=[ont.uri("File")],
+            ranges=[ont.uri("Module")],
+        ),
+        OntologyObjectProperty(
+            uri=ont.uri("declares"),
+            domains=[ont.uri("File")],
+        ),
+        OntologyObjectProperty(
+            uri=ont.uri("refersToRepo"),
+            domains=[ont.uri("File")],
+            ranges=[ont.uri("Repository")],
+        ),
+        OntologyDataProperty(uri=ont.uri("path"), is_functional=True),
+        OntologyDataProperty(uri=ont.uri("lang"), is_functional=True),
+        OntologyDataProperty(uri=ont.uri("commitId"), is_functional=True),
+        OntologyDataProperty(uri=ont.uri("checksum"), is_functional=True),
+    ]
+    rows = [
+        (t.subject, t.predicate, t.object, graph_uri)
+        for r in resources
+        for t in r.to_triples()
+    ]
+    rows.append(
+        (
+            mk_resource(graph_uri),
+            mk_resource(vocab.RDF_TYPE),
+            mk_resource(vocab.OWL_ONTOLOGY),
+            graph_uri,
+        )
+    )
+    return spark.createDataFrame(rows, QUAD_SCHEMA)
+
+
+# -- orchestration ----------------------------------------------------------
+
+
+def construct_kg(
+    spark: SparkSession,
+    files: DataFrame,
+    graph_uri: str = DEFAULT_GRAPH,
+    canonicalize: bool = True,
+    include_schema: bool = True,
+) -> DataFrame:
+    """Full construction plan; returns the (deduplicated) quad DataFrame."""
+    ns = graph_uri
+    ingested = ingest(files, ns)
+    mentions = extract_mentions(ingested)
+    # mentions feed three emitters — materialize the Arrow-scan once
+    mentions = mentions.persist()
+    linked = link_imports(mentions, module_dictionary(spark))
+    pairs = same_as_pairs(linked)
+
+    quads = (
+        emit_file_quads(ingested, ns)
+        .unionByName(emit_repo_quads(ingested, ns))
+        .unionByName(emit_decl_quads(mentions, ns))
+        .unionByName(emit_import_quads(linked, ns))
+        .unionByName(emit_module_quads(linked, pairs, ns))
+        .unionByName(emit_repo_ref_quads(mentions, ns))
+    )
+    if include_schema:
+        quads = quads.unionByName(schema_quads(spark, ns))
+
+    if canonicalize:
+        edges = pairs.select(
+            resource_term(mint_uri_col(ns, "module", F.col("name"))).alias("src"),
+            resource_term(mint_uri_col(ns, "module", F.col("canonical"))).alias(
+                "dst"
+            ),
+        )
+        quads = rewrite_terms(quads, canonical_mapping(edges))
+
+    return quads.dropDuplicates(["subj", "pred", "obj", "graph"])
