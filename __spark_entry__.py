@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship individuals query on sf0.001.
+``queries()`` maps operator names (SURVEY.md §2 + the training-data ops)
+to (spark, sf_dir) -> DataFrame callables; ``oracle_sql()`` holds the
+DuckDB-equivalent ANSI SQL for each. Column names/aliases match pairwise
+— the driver's compare is order-insensitive but name- and value-exact.
+
+The KG-operator queries run over a quad table derived deterministically
+from the TPC-H-ish testdata (ontograph_spark/sources/tpch_quads.py keeps
+the Spark derivation and the SQL CTE in lock-step).
 """
 
 from __future__ import annotations
@@ -12,27 +16,496 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ontograph_spark import vocab
+from ontograph_spark.functions import text as T
+from ontograph_spark.functions.similarity import brute_force_topk
+from ontograph_spark.sources.tpch_quads import G, QUADS_SQL_CTE, quads_df
+
+RDF_TYPE = f"<{vocab.RDF_TYPE}>"
+NAMED = f"<{vocab.OWL_NAMED_INDIVIDUAL}>"
+LABEL = f"<{vocab.RDFS_LABEL}>"
+
+_W = f"WITH {QUADS_SQL_CTE}"
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# KG / store operator queries (over the derived quad table)
+# ---------------------------------------------------------------------------
+
+
+def q_kg_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetIndividuals-shaped query: customers in a nation located in
+    region 2, with labels — semi-join chain + hydration join
+    (SURVEY.md §3.3: replaces the reference's N+1 lookups)."""
+    q = quads_df(spark, sf_dir)
+    customers = (
+        q.where((F.col("pred") == RDF_TYPE) & (F.col("obj") == f"<{G}#Customer>"))
+        .select("subj")
+    )
+    in_nation = q.where(F.col("pred") == f"<{G}#inNation>").select(
+        "subj", F.col("obj").alias("nation")
+    )
+    asia = q.where(
+        (F.col("pred") == f"<{G}#locatedIn>") & (F.col("obj") == f"<{G}#region-2>")
+    ).select(F.col("subj").alias("nation"))
+    labels = q.where(F.col("pred") == LABEL).select(
+        "subj", F.col("obj").alias("label")
+    )
+    return (
+        customers.join(in_nation, "subj")
+        .join(asia, "nation", "left_semi")
+        .join(labels, "subj")
+        .select("subj", "label")
+    )
+
+
+_SQL_KG_FLAGSHIP = f"""{_W}
+SELECT c.subj AS subj, l.obj AS label
+FROM (SELECT subj FROM quads WHERE pred = '{RDF_TYPE}' AND obj = '<{G}#Customer>') c
+JOIN (SELECT subj, obj AS nation FROM quads WHERE pred = '<{G}#inNation>') n ON c.subj = n.subj
+JOIN (SELECT subj AS nation FROM quads WHERE pred = '<{G}#locatedIn>' AND obj = '<{G}#region-2>') r
+  ON n.nation = r.nation
+JOIN (SELECT subj, obj FROM quads WHERE pred = '{LABEL}') l ON c.subj = l.subj
+"""
+
+
+def q_match_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetAllMatches("", locatedIn, "") — wildcard pattern scan."""
+    return (
+        quads_df(spark, sf_dir)
+        .where(F.col("pred") == f"<{G}#locatedIn>")
+        .select("subj", "obj")
+    )
+
+
+_SQL_MATCH_PATTERN = f"""{_W}
+SELECT subj, obj FROM quads WHERE pred = '<{G}#locatedIn>'
+"""
+
+
+def q_subject_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetAllMatches(<customer-1>, "", "") — per-subject hydration scan."""
+    return (
+        quads_df(spark, sf_dir)
+        .where(F.col("subj") == f"<{G}#customer-1>")
+        .select("pred", "obj")
+    )
+
+
+_SQL_SUBJECT_PROBE = f"""{_W}
+SELECT pred, obj FROM quads WHERE subj = '<{G}#customer-1>'
+"""
+
+
+def q_store_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size() — total triple count."""
+    return quads_df(spark, sf_dir).agg(F.count(F.lit(1)).alias("n"))
+
+
+_SQL_STORE_SIZE = f"{_W}\nSELECT count(*) AS n FROM quads"
+
+
+def q_first_match_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetFirstMatch made deterministic: the min matching subject."""
+    return (
+        quads_df(spark, sf_dir)
+        .where((F.col("pred") == RDF_TYPE) & (F.col("obj") == f"<{G}#Supplier>"))
+        .agg(F.min("subj").alias("subj"))
+    )
+
+
+_SQL_FIRST_MATCH_MIN = f"""{_W}
+SELECT min(subj) AS subj FROM quads
+WHERE pred = '{RDF_TYPE}' AND obj = '<{G}#Supplier>'
+"""
+
+
+def q_delete_matches_post(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeleteAllMatches("", inNation, <nation-3>) post-state as per-pred
+    counts — the anti-filter rewrite."""
+    q = quads_df(spark, sf_dir)
+    post = q.where(
+        ~((F.col("pred") == f"<{G}#inNation>") & (F.col("obj") == f"<{G}#nation-3>"))
+    )
+    return post.groupBy("pred").agg(F.count(F.lit(1)).alias("n"))
+
+
+_SQL_DELETE_MATCHES_POST = f"""{_W}
+SELECT pred, count(*) AS n FROM quads
+WHERE NOT (pred = '<{G}#inNation>' AND obj = '<{G}#nation-3>')
+GROUP BY pred
+"""
+
+
+def q_upsert_post(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UpsertResource(<supplier-1>) post-state: delete rows having the
+    subject as subj OR obj, insert the new resource's triples, count per
+    pred — the MERGE-shaped write path."""
+    t = f"<{G}#supplier-1>"
+    q = quads_df(spark, sf_dir)
+    keep = q.where(~((F.col("subj") == t) | (F.col("obj") == t)))
+    new_rows = spark.createDataFrame(
+        [
+            (t, RDF_TYPE, NAMED, G),
+            (t, RDF_TYPE, f"<{G}#Supplier>", G),
+            (t, LABEL, '"supplier-1-v2"', G),
+        ],
+        ["subj", "pred", "obj", "graph"],
+    )
+    post = keep.unionByName(new_rows)
+    return post.groupBy("pred").agg(F.count(F.lit(1)).alias("n"))
+
+
+_SQL_UPSERT_POST = f"""{_W},
+post AS (
+  SELECT subj, pred, obj, graph FROM quads
+  WHERE NOT (subj = '<{G}#supplier-1>' OR obj = '<{G}#supplier-1>')
+  UNION ALL
+  SELECT * FROM (VALUES
+    ('<{G}#supplier-1>', '{RDF_TYPE}', '{NAMED}', '{G}'),
+    ('<{G}#supplier-1>', '{RDF_TYPE}', '<{G}#Supplier>', '{G}'),
+    ('<{G}#supplier-1>', '{LABEL}', '"supplier-1-v2"', '{G}')
+  ) v(subj, pred, obj, graph)
+)
+SELECT pred, count(*) AS n FROM post GROUP BY pred
+"""
+
+
+def q_individuals_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND filter group: type Supplier AND inNation nation-5 — the
+    left-semi intersection chain."""
+    q = quads_df(spark, sf_dir)
+    a = q.where(
+        (F.col("pred") == RDF_TYPE) & (F.col("obj") == f"<{G}#Supplier>")
+    ).select("subj").distinct()
+    b = q.where(
+        (F.col("pred") == f"<{G}#inNation>") & (F.col("obj") == f"<{G}#nation-5>")
+    ).select("subj").distinct()
+    return a.join(b, "subj", "left_semi")
+
+
+_SQL_INDIVIDUALS_AND = f"""{_W}
+SELECT DISTINCT subj FROM quads WHERE pred = '{RDF_TYPE}' AND obj = '<{G}#Supplier>'
+INTERSECT
+SELECT DISTINCT subj FROM quads WHERE pred = '<{G}#inNation>' AND obj = '<{G}#nation-5>'
+"""
+
+
+def q_individuals_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR filter groups: inNation nation-5 OR nation-6 — union-distinct."""
+    q = quads_df(spark, sf_dir)
+    a = q.where(
+        (F.col("pred") == f"<{G}#inNation>") & (F.col("obj") == f"<{G}#nation-5>")
+    ).select("subj")
+    b = q.where(
+        (F.col("pred") == f"<{G}#inNation>") & (F.col("obj") == f"<{G}#nation-6>")
+    ).select("subj")
+    return a.unionByName(b).distinct()
+
+
+_SQL_INDIVIDUALS_OR = f"""{_W}
+SELECT DISTINCT subj FROM quads
+WHERE pred = '<{G}#inNation>' AND obj IN ('<{G}#nation-5>', '<{G}#nation-6>')
+"""
+
+
+def q_individual_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hydration fold cardinality: triples per Customer subject —
+    the grouped collect_list fold, counted."""
+    q = quads_df(spark, sf_dir)
+    cust = q.where(
+        (F.col("pred") == RDF_TYPE) & (F.col("obj") == f"<{G}#Customer>")
+    ).select("subj")
+    return (
+        q.join(cust, "subj", "left_semi")
+        .groupBy("subj")
+        .agg(F.count(F.lit(1)).alias("n_triples"))
+    )
+
+
+_SQL_INDIVIDUAL_FOLD = f"""{_W}
+SELECT q.subj AS subj, count(*) AS n_triples
+FROM quads q
+WHERE q.subj IN (
+  SELECT subj FROM quads WHERE pred = '{RDF_TYPE}' AND obj = '<{G}#Customer>'
+)
+GROUP BY q.subj
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage (agg / join / window / time rollup)
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "sum_price_cents"
+            ),
+        )
+    )
+
+
+_SQL_LINEITEM_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join rollup: orders ⋈ customer ⋈ nation."""
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_SQL_ORDERS_BY_NATION = """
+SELECT n_name, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k: 3 highest-balance customers per nation."""
+    customer = _read(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        customer.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            "rank",
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("acctbal_cents"),
+        )
+    )
+
+
+_SQL_TOP_CUSTOMERS = """
+SELECT c_nationkey, c_custkey, rank, CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rank
+  FROM customer
+)
+WHERE rank <= 3
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style hourly rollup (batch over the events table; the
+    structured-streaming twin lives in ontograph_spark/streaming)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_value_cents"),
+        )
+    )
+
+
+_SQL_EVENTS_HOURLY = """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: text, dedup, similarity
+# ---------------------------------------------------------------------------
+
+
+def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.stopword_count("text", "en").alias("n_stop_en"),
+        T.punct_count("text").alias("n_punct"),
+        T.alpha_count("text").alias("n_alpha"),
+    )
+
+
+_SQL_DOCS_TOKEN_STATS = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       len(regexp_extract_all(text, '\b(the|and|of|to|in|is|a)\b')) AS n_stop_en,
+       len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+       len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+FROM documents
+"""
+
+
+def q_docs_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_guess("text").alias("guess"))
+
+
+_SQL_DOCS_LANG_GUESS = r"""
+SELECT doc_id,
+  CASE
+    WHEN e > 0 AND e >= d AND e >= s THEN 'en'
+    WHEN d > 0 AND d >= s THEN 'de'
+    WHEN s > 0 THEN 'es'
+    ELSE 'und'
+  END AS guess
+FROM (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '\b(the|and|of|to|in|is|a)\b')) AS e,
+    len(regexp_extract_all(text, '\b(der|die|und|das|ist|ein|nicht)\b')) AS d,
+    len(regexp_extract_all(text, '\b(el|la|los|de|que|y|es)\b')) AS s
+  FROM documents
+)
+"""
+
+
+def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontograph_spark.functions.dedup import exact_duplicate_stats
+
+    return exact_duplicate_stats(_read(spark, sf_dir, "documents"), "text")
+
+
+_SQL_DOCS_EXACT_DEDUP = """
+SELECT count(*) AS n_total,
+       count(DISTINCT sha256(text)) AS n_unique,
+       count(*) - count(DISTINCT sha256(text)) AS n_dup
+FROM documents
+"""
+
+
+def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(T.fingerprint("text")).alias("n_distinct_fp"),
+    )
+
+
+_SQL_DOCS_FINGERPRINT = r"""
+SELECT count(*) AS n_docs,
+       count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS n_distinct_fp
+FROM documents
+"""
+
+
+def q_emb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors 0..2 — both engines
+    compute the dot product as a sequential double-precision fold, so
+    ranks agree exactly."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    return brute_force_topk(emb, queries, k=5)
+
+
+_SQL_EMB_TOPK = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         list_dot_product(q.e, n.e) /
+           (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(n.e, n.e))) AS sim
+  FROM v q JOIN v n ON q.vec_id < 3 AND q.vec_id <> n.vec_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Contract surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_kg_flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_flagship": q_kg_flagship,
+        "match_pattern": q_match_pattern,
+        "subject_probe": q_subject_probe,
+        "store_size": q_store_size,
+        "first_match_min": q_first_match_min,
+        "delete_matches_post": q_delete_matches_post,
+        "upsert_post": q_upsert_post,
+        "individuals_and": q_individuals_and,
+        "individuals_or": q_individuals_or,
+        "individual_fold": q_individual_fold,
+        "lineitem_pricing": q_lineitem_pricing,
+        "orders_by_nation": q_orders_by_nation,
+        "top_customers_per_nation": q_top_customers_per_nation,
+        "events_hourly": q_events_hourly,
+        "docs_token_stats": q_docs_token_stats,
+        "docs_lang_guess": q_docs_lang_guess,
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_fingerprint": q_docs_fingerprint,
+        "emb_topk": q_emb_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kg_flagship": _SQL_KG_FLAGSHIP,
+        "match_pattern": _SQL_MATCH_PATTERN,
+        "subject_probe": _SQL_SUBJECT_PROBE,
+        "store_size": _SQL_STORE_SIZE,
+        "first_match_min": _SQL_FIRST_MATCH_MIN,
+        "delete_matches_post": _SQL_DELETE_MATCHES_POST,
+        "upsert_post": _SQL_UPSERT_POST,
+        "individuals_and": _SQL_INDIVIDUALS_AND,
+        "individuals_or": _SQL_INDIVIDUALS_OR,
+        "individual_fold": _SQL_INDIVIDUAL_FOLD,
+        "lineitem_pricing": _SQL_LINEITEM_PRICING,
+        "orders_by_nation": _SQL_ORDERS_BY_NATION,
+        "top_customers_per_nation": _SQL_TOP_CUSTOMERS,
+        "events_hourly": _SQL_EVENTS_HOURLY,
+        "docs_token_stats": _SQL_DOCS_TOKEN_STATS,
+        "docs_lang_guess": _SQL_DOCS_LANG_GUESS,
+        "docs_exact_dedup": _SQL_DOCS_EXACT_DEDUP,
+        "docs_fingerprint": _SQL_DOCS_FINGERPRINT,
+        "emb_topk": _SQL_EMB_TOPK,
+    }

@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries + end-to-end KG construction.
+
+Env:
+  SPARK_GRAFT_SF_DIR  testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+  BENCH_CONSTRUCT_ROWS  synthetic repo-table rows for the construction
+                        bench (default scales with sf: 200k rows/sf)
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "construct": {"rows": N, "triples": N, "wall_sec": s,
+                  "triples_per_sec": r}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def build_spark(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("ontograph-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    out: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        # execute fully but keep results off the driver
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def bench_construct(spark: SparkSession, rows: int) -> dict:
+    from ontograph_spark.pipeline.construct import construct_kg
+    from ontograph_spark.pipeline.materialize import salted_repartition
+    from ontograph_spark.pipeline.repo_source import synthesize_repo_table
+
+    import shutil
+    import tempfile
+
+    # The input contract is a table on storage (input_hint: Iceberg table
+    # of repositories) — synthesize it to parquet untimed, then time the
+    # construction reading from storage like production would.
+    src = tempfile.mkdtemp(prefix="ontograph_bench_src_")
+    out = tempfile.mkdtemp(prefix="ontograph_bench_out_")
+    synthesize_repo_table(spark, rows).write.mode("overwrite").parquet(src)
+    files = spark.read.parquet(src)
+    t0 = time.time()
+    quads = construct_kg(spark, files)
+    n = spark.sparkContext.defaultParallelism
+    salted_repartition(quads, n).write.mode("overwrite").parquet(out)
+    wall = time.time() - t0
+    triples = spark.read.parquet(out).count()  # metadata-only count
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return {
+        "rows": rows,
+        "triples": int(triples),
+        "wall_sec": round(wall, 3),
+        "triples_per_sec": round(triples / wall, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
+    rows = int(os.environ.get("BENCH_CONSTRUCT_ROWS", str(int(200_000 * sf) or 2000)))
+
+    spark = build_spark(cpus)
+    try:
+        queries = bench_queries(spark, sf_dir)
+        construct = bench_construct(spark, rows)
+    finally:
+        spark.stop()
+
+    total = round(sum(queries.values()) + construct["wall_sec"], 3)
+    print(
+        json.dumps(
+            {
+                "metric": "kg_construct_e2e_plus_headline_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "cpus": cpus,
+                "construct": construct,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

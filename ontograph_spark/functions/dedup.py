@@ -1,0 +1,218 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each picked for a different scale/recall trade-off:
+
+* **exact** — hash-groupBy on content digest; one shuffle, exact.
+* **MinHash + LSH** — shingle → k minhashes → band buckets → candidate
+  pairs via an equi-join on (band, signature slice); only candidates pay
+  the exact-verification cost. The band join is the classic
+  O(n·candidates) near-dup path at corpus scale.
+* **SimHash** — 64-bit sign-aggregated token hashes; near-dups are pairs
+  within a Hamming radius, found by banding the 64 bits into chunks.
+* **n-gram Jaccard** — exact Jaccard on shingle sets for candidate pairs
+  (array_intersect/array_union sizes — JVM-side).
+
+Everything is DataFrame algebra over built-ins (xxhash64, explode,
+groupBy, equi-joins) — no Python in any hot path. Embedding-cosine
+near-dup lives in similarity.py (same candidate-pair machinery over
+hyperplane-LSH buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ontograph_spark.functions.text import shingles
+
+
+def exact_duplicate_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row summary: total, distinct, duplicate rows by content digest."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct(F.sha2(F.col(text_col), 256)).alias("n_unique"),
+        (
+            F.count(F.lit(1)) - F.countDistinct(F.sha2(F.col(text_col), 256))
+        ).alias("n_dup"),
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative per exact content digest."""
+    ranked = df.withColumn(
+        "_digest", F.sha2(F.col(text_col), 256)
+    ).withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("_digest").orderBy(F.col(id_col))
+        ),
+    )
+    return ranked.where(F.col("_rn") == 1).drop("_rn", "_digest")
+
+
+def minhash_signature(text: Column, num_hashes: int = 32, shingle_k: int = 5) -> Column:
+    """Array of ``num_hashes`` minhash values: min over shingles of
+    xxhash64(shingle, seed_i). Seeds are constant, so signatures are
+    deterministic and comparable across runs."""
+    sh = shingles(text, shingle_k)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) that collide in ≥1 LSH band.
+
+    rows_per_band = num_hashes / bands; a pair colliding in a band shares
+    that whole signature slice — the standard S-curve trade-off. The join
+    is an equi-join on (band_id, band_signature): shuffle is on the
+    banded key, so hot shingles don't concentrate on one reducer."""
+    rows = num_hashes // bands
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("sig"),
+    )
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.slice(F.col("sig"), b * rows + 1, rows).alias("slice"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.slice").alias("slice"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs. If ``candidates`` is
+    None, MinHash-LSH generates them first (never do the n² self-join)."""
+    if candidates is None:
+        candidates = minhash_lsh_pairs(df, id_col, text_col, shingle_k=shingle_k)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    joined = (
+        candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            (inter / union).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(text: Column, shingle_k: int = 4) -> Column:
+    """64-bit SimHash: per shingle take xxhash64, per bit position sum
+    (+1/-1), sign-aggregate into a 64-bit value. Implemented with
+    aggregate over bit positions — stays in codegen."""
+    sh = shingles(text, shingle_k)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    bits = []
+    for b in range(64):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h, b=b: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bits.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0)))
+    out = F.lit(0).cast("long")
+    for b, bit in enumerate(bits):
+        out = out.bitwiseOR(F.shiftleft(bit, b))
+    return out
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs within a Hamming radius: band the 64-bit simhash
+    into ``chunks`` 16-bit blocks; by pigeonhole, any pair within
+    ``chunks - 1`` bit flips collides on ≥1 block. Exact Hamming check
+    reranks candidates."""
+    sim = df.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
+    )
+    width = 64 // chunks
+    banded = sim.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(cidx).alias("chunk"),
+                        F.shiftright(F.col("sh"), cidx * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for cidx in range(chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "sh", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

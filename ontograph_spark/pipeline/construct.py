@@ -348,15 +348,20 @@ def construct_kg(
     """Full construction plan; returns the (deduplicated) quad DataFrame."""
     ns = graph_uri
     ingested = ingest(files, ns)
-    mentions = extract_mentions(ingested)
-    # mentions feed three emitters — materialize the Arrow-scan once
-    mentions = mentions.persist()
-    linked = link_imports(mentions, module_dictionary(spark))
+    # Stage the ingest: file metadata (with the sha256 invariant, without
+    # content) is tiny and feeds several emitters — materialize it once so
+    # the content column is scanned exactly twice overall (sha256 pass +
+    # mention-extraction pass), never once per emitter branch.
+    meta = ingested.drop("content").persist()
+    meta.count()  # eager: guarantees one content pass for the sha256 stage
+    mentions = extract_mentions(ingested).persist()
+    mentions.count()  # eager: one extraction pass feeds four consumers
+    linked = link_imports(mentions, module_dictionary(spark)).persist()
     pairs = same_as_pairs(linked)
 
     quads = (
-        emit_file_quads(ingested, ns)
-        .unionByName(emit_repo_quads(ingested, ns))
+        emit_file_quads(meta, ns)
+        .unionByName(emit_repo_quads(meta, ns))
         .unionByName(emit_decl_quads(mentions, ns))
         .unionByName(emit_import_quads(linked, ns))
         .unionByName(emit_module_quads(linked, pairs, ns))

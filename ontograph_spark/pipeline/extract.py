@@ -54,6 +54,22 @@ _COMPILED = {
 }
 
 
+def _fused(lang: str) -> tuple[str, dict[str, str]]:
+    """Fuse a language's rules into ONE alternation regex with named
+    groups (g0, g1, …) so the content is scanned once per batch, not once
+    per rule. Returns (pattern, group-name → kind)."""
+    parts: list[str] = []
+    group_kind: dict[str, str] = {}
+    for idx, (kind, pat) in enumerate(PATTERNS[lang]):
+        g = f"g{idx}"
+        group_kind[g] = kind
+        parts.append("(?:" + pat.replace("(", f"(?P<{g}>", 1) + ")")
+    return "|".join(parts), group_kind
+
+
+_FUSED = {lang: _fused(lang) for lang in PATTERNS}
+
+
 def extract_mentions(files: DataFrame) -> DataFrame:
     """``(repo, path, commit, lang, content, ...)`` →
     ``(repo, path, lang, kind, name)`` mention rows."""
@@ -61,27 +77,29 @@ def extract_mentions(files: DataFrame) -> DataFrame:
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             outs = []
-            for lang, pats in PATTERNS.items():
+            for lang, (pat, group_kind) in _FUSED.items():
                 sub = pdf[pdf["lang"] == lang]
                 if sub.empty:
                     continue
-                for kind, pat in pats:
-                    # one vectorized extractall over the whole batch slice
-                    m = sub["content"].str.extractall(pat, flags=re.M)
-                    if m.empty:
-                        continue
-                    idx = m.index.get_level_values(0)
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                "repo": sub["repo"].loc[idx].values,
-                                "path": sub["path"].loc[idx].values,
-                                "lang": lang,
-                                "kind": kind,
-                                "name": m[0].values,
-                            }
-                        )
+                # one vectorized extractall over the whole batch slice;
+                # exactly one named group is non-null per match
+                m = sub["content"].str.extractall(pat, flags=re.M)
+                if m.empty:
+                    continue
+                melted = m.stack()
+                row_idx = melted.index.get_level_values(0)
+                groups = melted.index.get_level_values(-1)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "repo": sub["repo"].loc[row_idx].values,
+                            "path": sub["path"].loc[row_idx].values,
+                            "lang": lang,
+                            "kind": groups.map(group_kind).values,
+                            "name": melted.values,
+                        }
                     )
+                )
             if outs:
                 yield pd.concat(outs, ignore_index=True)
             else:
