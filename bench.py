@@ -31,6 +31,13 @@ def build_spark(cpus: int) -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Bench data is small and compresses hard; default 128m split
+        # packing + 64m AQE advisory would run everything on 1-2 tasks and
+        # hide per-core scaling. Production datasets have abundant splits,
+        # where the defaults are right.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInMB", "8")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
@@ -87,7 +94,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
-    rows = int(os.environ.get("BENCH_CONSTRUCT_ROWS", str(int(200_000 * sf) or 2000)))
+    rows = int(os.environ.get("BENCH_CONSTRUCT_ROWS", str(int(1_000_000 * sf) or 2000)))
 
     spark = build_spark(cpus)
     try:

@@ -56,11 +56,12 @@ def minhash_signature(text: Column, num_hashes: int = 32, shingle_k: int = 5) ->
     xxhash64(shingle, seed_i). Seeds are constant, so signatures are
     deterministic and comparable across runs."""
     sh = shingles(text, shingle_k)
+
+    def _hash(seed: int):
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
     return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(sh, _hash(i))) for i in range(num_hashes)]
     )
 
 
@@ -149,14 +150,18 @@ def simhash64(text: Column, shingle_k: int = 4) -> Column:
     aggregate over bit positions — stays in codegen."""
     sh = shingles(text, shingle_k)
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def _vote(bit_pos: int):
+        def merge(acc, h):
+            return acc + F.when(
+                F.shiftright(h, bit_pos).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return merge
+
     bits = []
     for b in range(64):
-        vote = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h, b=b: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote(b))
         bits.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0)))
     out = F.lit(0).cast("long")
     for b, bit in enumerate(bits):

@@ -73,14 +73,23 @@ ONT = Ont(DEFAULT_GRAPH)
 # -- minting ----------------------------------------------------------------
 
 
+#: minted-digest width in hex chars: 128 bits — birthday-safe at 10^12
+#: entities (collision odds ~1e-15) at half the term bytes of full sha256,
+#: which directly cuts every downstream shuffle and scan.
+MINT_HEX = 32
+
+
 def mint_uri_col(ns: str, kind: str, key: Column) -> Column:
-    """Deterministic IRI: ``ns#<kind>-sha256(key)`` (Column form)."""
-    return F.concat(F.lit(f"{ns}#{kind}-"), F.sha2(key, 256))
+    """Deterministic IRI: ``ns#<kind>-sha256(key)[:MINT_HEX]`` (Column
+    form) — namespace + sha256 minting per the north rule."""
+    return F.concat(
+        F.lit(f"{ns}#{kind}-"), F.substring(F.sha2(key, 256), 1, MINT_HEX)
+    )
 
 
 def mint_uri_py(ns: str, kind: str, key: str) -> str:
     """Pure-Python twin of :func:`mint_uri_col`."""
-    return f"{ns}#{kind}-{hashlib.sha256(key.encode()).hexdigest()}"
+    return f"{ns}#{kind}-{hashlib.sha256(key.encode()).hexdigest()[:MINT_HEX]}"
 
 
 def _sha_key(*cols: str) -> Column:
@@ -354,22 +363,35 @@ def construct_kg(
     # mention-extraction pass), never once per emitter branch.
     meta = ingested.drop("content").persist()
     meta.count()  # eager: guarantees one content pass for the sha256 stage
-    mentions = extract_mentions(ingested).persist()
+    # Dedup mentions at the source (one small shuffle) so every emitter
+    # produces set-distinct rows by construction — the expensive global
+    # dedup over the full quad stream disappears.
+    mentions = (
+        extract_mentions(ingested)
+        .dropDuplicates(["repo", "path", "kind", "name"])
+        .persist()
+    )
     mentions.count()  # eager: one extraction pass feeds four consumers
     linked = link_imports(mentions, module_dictionary(spark)).persist()
     pairs = same_as_pairs(linked)
 
-    quads = (
+    # Branch split: module IRIs appear ONLY in the import-edge and
+    # module-entity branches — canonicalization rewrites (and re-dedups)
+    # just those; every other branch is already distinct and untouched.
+    # Invariant: (repo, path) is the input's primary key (re-ingesting the
+    # same file twice goes through the MERGE path, not through here).
+    plain = (
         emit_file_quads(meta, ns)
         .unionByName(emit_repo_quads(meta, ns))
         .unionByName(emit_decl_quads(mentions, ns))
-        .unionByName(emit_import_quads(linked, ns))
-        .unionByName(emit_module_quads(linked, pairs, ns))
         .unionByName(emit_repo_ref_quads(mentions, ns))
     )
     if include_schema:
-        quads = quads.unionByName(schema_quads(spark, ns))
+        plain = plain.unionByName(schema_quads(spark, ns))
 
+    module_branch = emit_import_quads(linked, ns).unionByName(
+        emit_module_quads(linked, pairs, ns)
+    )
     if canonicalize:
         edges = pairs.select(
             resource_term(mint_uri_col(ns, "module", F.col("name"))).alias("src"),
@@ -377,6 +399,9 @@ def construct_kg(
                 "dst"
             ),
         )
-        quads = rewrite_terms(quads, canonical_mapping(edges))
+        module_branch = rewrite_terms(module_branch, canonical_mapping(edges))
+    module_branch = module_branch.dropDuplicates(
+        ["subj", "pred", "obj", "graph"]
+    )
 
-    return quads.dropDuplicates(["subj", "pred", "obj", "graph"])
+    return plain.unionByName(module_branch)

@@ -1,0 +1,255 @@
+"""Training-data operator tests: text analysis, dedup families,
+similarity search, multimodal plumbing — each against an independent
+pure-Python/numpy oracle."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ontograph_spark.functions import text as T
+from ontograph_spark.functions.dedup import (
+    exact_dedup,
+    exact_duplicate_stats,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from ontograph_spark.functions.multimodal import (
+    extract_features,
+    frame_sample,
+    synthesize_media_table,
+)
+from ontograph_spark.functions.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+    lsh_topk,
+)
+
+TEXTS = [
+    "the cat and the dog sat on a mat.",
+    "der Hund und die Katze; das ist ein Test!",
+    "el gato y la casa de los perros",
+    "xyzzy qwfp zzz",
+    "",
+    "  spaced   out   words  ",
+]
+
+
+@pytest.fixture(scope="module")
+def texts_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], ["id", "text"]
+    )
+
+
+def test_text_columns_vs_python(spark, texts_df):
+    rows = texts_df.select(
+        "id",
+        "text",
+        T.token_count("text").alias("tok"),
+        T.stopword_count("text", "en").alias("sw"),
+        T.punct_count("text").alias("punct"),
+        T.alpha_count("text").alias("alpha"),
+        T.lang_guess("text").alias("lang"),
+        T.fingerprint("text").alias("fp"),
+    ).collect()
+    for r in rows:
+        t = r["text"]
+        assert r["tok"] == len(t.strip().split()) if t.strip() else r["tok"] == 1
+        assert r["sw"] == len(re.findall(T.stopword_regex("en"), t))
+        assert r["punct"] == len(re.findall(T.PUNCT_CLASS, t))
+        assert r["alpha"] == len(re.findall(r"[A-Za-z]", t))
+        norm = re.sub(r"\s+", " ", t.strip()).lower()
+        assert r["fp"] == hashlib.md5(norm.encode()).hexdigest()
+    by_id = {r["id"]: r["lang"] for r in rows}
+    assert by_id[0] == "en"
+    assert by_id[1] == "de"
+    assert by_id[2] == "es"
+    assert by_id[3] == "und"
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("abcdef",)], ["text"])
+    got = df.select(T.shingles("text", 3).alias("s")).collect()[0]["s"]
+    assert got == ["abc", "bcd", "cde", "def"]
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog again and again"),
+    (1, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat again and again"),  # near dup
+    (3, "completely different content about spark dataframes and shuffles"),
+    (4, "another unrelated string full of parquet and arrow batches"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs_df):
+    stats = exact_duplicate_stats(docs_df, "text").collect()[0]
+    assert (stats["n_total"], stats["n_unique"], stats["n_dup"]) == (5, 4, 1)
+    kept = sorted(r["doc_id"] for r in exact_dedup(docs_df, "doc_id").collect())
+    assert kept == [0, 2, 3, 4]  # min-id representative survives
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs_df):
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs_df, "doc_id").collect()
+    }
+    assert (0, 1) in pairs  # identical always collides
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup collides in ≥1 band
+    assert (3, 4) not in pairs
+
+
+def test_ngram_jaccard(spark, docs_df):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_df, "doc_id", threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert all(a != 3 and b != 4 or (a, b) == (3, 4) for a, b in pairs) or (3, 4) not in pairs
+
+
+def test_simhash_near_pairs(spark, docs_df):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(docs_df, "doc_id", max_hamming=10).collect()
+    }
+    assert pairs[(0, 1)] == 0  # identical text → identical simhash
+    assert (0, 2) in pairs  # near dup within radius
+    assert (3, 4) not in pairs
+
+
+def _vec(seed: int, dim: int = 8) -> list[float]:
+    h = hashlib.sha256(f"v{seed}".encode()).digest() * 2
+    return [(b - 128) / 128 for b in h[:dim]]
+
+
+@pytest.fixture(scope="module")
+def vectors_df(spark):
+    rows = []
+    for i in range(40):
+        base = _vec(i % 8)  # 8 clusters of 5 near-identical vectors
+        noisy = [x + ((i * 31 + j) % 7 - 3) * 0.01 for j, x in enumerate(base)]
+        rows.append((i, noisy))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def numpy_topk(rows, query_ids, k):
+    ids = [r[0] for r in rows]
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for q in query_ids:
+        qi = ids.index(q)
+        sims = normed @ normed[qi]
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != q),
+            key=lambda i: (-sims[i], ids[i]),
+        )
+        out[q] = [ids[i] for i in order[:k]]
+    return out
+
+
+def test_brute_force_topk_vs_numpy(spark, vectors_df):
+    rows = [(r["vec_id"], r["embedding"]) for r in vectors_df.collect()]
+    expected = numpy_topk(rows, [0, 1, 2], 5)
+    got = brute_force_topk(
+        vectors_df, vectors_df.where(F.col("vec_id") < 3), k=5
+    ).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert by_q == expected
+
+
+def test_lsh_topk_recall(spark, vectors_df):
+    """Approximate search must recover most true cluster-mates."""
+    rows = [(r["vec_id"], r["embedding"]) for r in vectors_df.collect()]
+    truth = numpy_topk(rows, [0, 1], 4)
+    got = lsh_topk(
+        vectors_df, vectors_df.where(F.col("vec_id") < 2), dim=8, k=4, num_planes=6
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for q in (0, 1):
+        hits = len(by_q.get(q, set()) & set(truth[q]))
+        assert hits >= 2, (q, by_q.get(q), truth[q])
+
+
+def test_ivf_topk_recall(spark, vectors_df):
+    rows = [(r["vec_id"], r["embedding"]) for r in vectors_df.collect()]
+    truth = numpy_topk(rows, [0], 4)
+    got = ivf_topk(
+        vectors_df,
+        vectors_df.where(F.col("vec_id") == 0),
+        k=4,
+        nlist=8,
+        nprobe=4,
+    ).collect()
+    hits = {r["neighbor_id"] for r in got} & set(truth[0])
+    assert len(hits) >= 2, (got, truth[0])
+
+
+def test_embedding_near_dup_pairs(spark, vectors_df):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            vectors_df, dim=8, threshold=0.995, num_planes=4
+        ).collect()
+    }
+    # cluster mates (i, i+8) are near-identical
+    assert any((a % 8) == (b % 8) for a, b in pairs)
+    for a, b in pairs:
+        assert a % 8 == b % 8  # no cross-cluster false positives at 0.995
+
+
+def test_multimodal_features(spark):
+    media = synthesize_media_table(spark, 30, partitions=2)
+    feats = extract_features(media, dim=8).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r["feature"]) == 8
+        assert all(0.0 <= x <= 1.0 for x in r["feature"])
+        assert r["n_bytes"] > 0
+    # deterministic
+    again = extract_features(synthesize_media_table(spark, 30, partitions=3), dim=8).collect()
+    a = {r["media_id"]: r["feature"] for r in feats}
+    b = {r["media_id"]: r["feature"] for r in again}
+    assert a == b
+
+
+def test_multimodal_real_decoder_stubbed(spark):
+    media = synthesize_media_table(spark, 5, partitions=1)
+    with pytest.raises(Exception) as exc_info:
+        extract_features(media, dim=8, decoder="real").collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_frame_sample(spark):
+    media = synthesize_media_table(spark, 30, partitions=2)
+    frames = frame_sample(media, every_ms=1000).collect()
+    vids = {r["media_id"] for r in frames if r["kind"] == "video"}
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r["frame_ms"])
+    meta = {r["media_id"]: r for r in media.collect()}
+    for mid in vids:
+        dur = meta[mid]["duration_ms"]
+        assert len(by_media[mid]) == dur // 1000 + 1
+    for mid, ms in by_media.items():
+        if meta[mid]["kind"] != "video":
+            assert ms == [0]
