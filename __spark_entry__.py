@@ -453,6 +453,125 @@ WHERE rank <= 5
 """
 
 
+def q_part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _read(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.round(F.col("p_retailprice") * 100).cast("bigint")).alias(
+            "sum_price_cents"
+        ),
+        F.max("p_size").alias("max_size"),
+    )
+
+
+_SQL_PART_TYPE_STATS = """
+SELECT p_brand, count(*) AS n_parts,
+       sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS sum_price_cents,
+       max(p_size) AS max_size
+FROM part GROUP BY p_brand
+"""
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag(): a session starts when the gap to the
+    previous event of the same user exceeds 30 minutes."""
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")  # parquet NTZ → epoch-capable
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    prev = F.lag("ts").over(w)
+    is_start = F.when(
+        prev.isNull()
+        | (F.col("ts").cast("long") - prev.cast("long") > 1800),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("s", is_start)
+        .groupBy("user_id")
+        .agg(F.sum("s").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+_SQL_USER_SESSIONS = """
+SELECT user_id, sum(s) AS n_sessions, count(*) AS n_events
+FROM (
+  SELECT user_id,
+    CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+         THEN 1 ELSE 0 END AS s
+  FROM (
+    SELECT user_id, ts, event_id,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+  )
+)
+GROUP BY user_id
+"""
+
+
+def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality score ×1000 as bigint — the formula is the same IEEE-double
+    expression tree in both engines."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(T.quality_score("text") * 1000).cast("bigint").alias("quality_milli"),
+    )
+
+
+_SQL_DOCS_QUALITY = r"""
+SELECT doc_id,
+  CAST(round((least(sr * 2, 1.0) * 0.5 + ar * 0.3 + lb * 0.2) * 1000) AS BIGINT)
+    AS quality_milli
+FROM (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in|is|a)\b')) AS DOUBLE)
+      / (len(string_split_regex(trim(text), '\s+')) + 1) AS sr,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+      / (CAST(length(text) AS DOUBLE) + 1) AS ar,
+    CASE WHEN length(text) >= 20 AND length(text) <= 20000
+         THEN 1.0 ELSE 0.0 END AS lb
+  FROM documents
+)
+"""
+
+
+def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs — banded signature equi-join
+    (not SQL-expressible compactly; the driver records a rows-only check,
+    and tests/test_functions.py pins semantics with a Python oracle)."""
+    from ontograph_spark.functions.dedup import minhash_lsh_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", num_hashes=16, bands=4)
+
+
+def q_docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-radius near-dup pairs — rows-only check."""
+    from ontograph_spark.functions.dedup import simhash_near_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, "doc_id", max_hamming=6)
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane LSH — rows-only."""
+    from ontograph_spark.functions.similarity import embedding_near_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, dim=64, threshold=0.9, num_planes=8)
+
+
+def q_kg_pipeline_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end KG construction on a deterministic synthesized repo
+    table — rows-only check (the P/R gate lives in the golden tests)."""
+    from ontograph_spark.pipeline.construct import construct_kg
+    from ontograph_spark.pipeline.repo_source import synthesize_repo_table
+
+    files = synthesize_repo_table(spark, 500, partitions=4)
+    quads = construct_kg(spark, files)
+    return quads.groupBy("pred").agg(F.count(F.lit(1)).alias("n")).orderBy("pred")
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -484,6 +603,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_fingerprint": q_docs_fingerprint,
         "emb_topk": q_emb_topk,
+        "part_type_stats": q_part_type_stats,
+        "user_sessions": q_user_sessions,
+        "docs_quality": q_docs_quality,
+        "docs_minhash_pairs": q_docs_minhash_pairs,
+        "docs_simhash_pairs": q_docs_simhash_pairs,
+        "emb_near_dup": q_emb_near_dup,
+        "kg_pipeline_smoke": q_kg_pipeline_smoke,
     }
 
 
@@ -508,4 +634,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_exact_dedup": _SQL_DOCS_EXACT_DEDUP,
         "docs_fingerprint": _SQL_DOCS_FINGERPRINT,
         "emb_topk": _SQL_EMB_TOPK,
+        "part_type_stats": _SQL_PART_TYPE_STATS,
+        "user_sessions": _SQL_USER_SESSIONS,
+        "docs_quality": _SQL_DOCS_QUALITY,
+        # docs_minhash_pairs / docs_simhash_pairs / emb_near_dup /
+        # kg_pipeline_smoke: non-SQL-expressible → rows-only checks
     }

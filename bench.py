@@ -28,18 +28,20 @@ def build_spark(cpus: int) -> SparkSession:
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("ontograph-spark-bench")
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        # start wide, let AQE coalesce down — an initial value at the slot
+        # count leaves heavy shuffles with one monolithic wave
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 4, 32)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Bench data is small and compresses hard; default 128m split
         # packing + 64m AQE advisory would run everything on 1-2 tasks and
         # hide per-core scaling. Production datasets have abundant splits,
         # where the defaults are right.
-        .config("spark.sql.files.maxPartitionBytes", "8m")
-        .config("spark.sql.files.openCostInBytes", "1m")
+        .config("spark.sql.files.maxPartitionBytes", "2m")
+        .config("spark.sql.files.openCostInBytes", "256k")
         .config("spark.sql.adaptive.advisoryPartitionSizeInMB", "8")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()

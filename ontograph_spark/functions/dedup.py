@@ -51,17 +51,39 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     return ranked.where(F.col("_rn") == 1).drop("_rn", "_digest")
 
 
-def minhash_signature(text: Column, num_hashes: int = 32, shingle_k: int = 5) -> Column:
-    """Array of ``num_hashes`` minhash values: min over shingles of
-    xxhash64(shingle, seed_i). Seeds are constant, so signatures are
-    deterministic and comparable across runs."""
-    sh = shingles(text, shingle_k)
+def _exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int
+) -> DataFrame:
+    """(id, shingle) rows — the shingle-table shape. Sketches aggregate
+    over this with plain hash aggregates, which scales to any corpus and
+    keeps codegen small (64 chained array-folds per row do not)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("s"),
+    )
 
-    def _hash(seed: int):
-        return lambda s: F.xxhash64(s, F.lit(seed))
 
-    return F.array(
-        *[F.array_min(F.transform(sh, _hash(i))) for i in range(num_hashes)]
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, sig: array<long>) — per id the min over shingles of
+    xxhash64(shingle, seed_i), one map-side-combining aggregate. Seeds are
+    constant, so signatures are deterministic across runs. Documents too
+    short to shingle produce no row (they cannot near-dup anyway)."""
+    e = _exploded_shingles(df, id_col, text_col, shingle_k)
+    aggs = [
+        F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    return (
+        e.groupBy("id")
+        .agg(*aggs)
+        .select(
+            "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+        )
     )
 
 
@@ -80,10 +102,7 @@ def minhash_lsh_pairs(
     is an equi-join on (band_id, band_signature): shuffle is on the
     banded key, so hot shingles don't concentrate on one reducer."""
     rows = num_hashes // bands
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("sig"),
-    )
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
     banded = sigs.select(
         "id",
         F.explode(
@@ -144,29 +163,31 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash64(text: Column, shingle_k: int = 4) -> Column:
-    """64-bit SimHash: per shingle take xxhash64, per bit position sum
-    (+1/-1), sign-aggregate into a 64-bit value. Implemented with
-    aggregate over bit positions — stays in codegen."""
-    sh = shingles(text, shingle_k)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-
-    def _vote(bit_pos: int):
-        def merge(acc, h):
-            return acc + F.when(
-                F.shiftright(h, bit_pos).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-
-        return merge
-
-    bits = []
-    for b in range(64):
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote(b))
-        bits.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0)))
+def simhash64_df(
+    df: DataFrame, id_col: str, text_col: str = "text", shingle_k: int = 4
+) -> DataFrame:
+    """(id, sh: long) — 64-bit SimHash per id: per shingle take xxhash64,
+    per bit position sum (+1/-1) votes via 64 hash aggregates over the
+    shingle table, then sign-pack into one long."""
+    e = _exploded_shingles(df, id_col, text_col, shingle_k).withColumn(
+        "h", F.xxhash64("s")
+    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    votes = e.groupBy("id").agg(*aggs)
     out = F.lit(0).cast("long")
-    for b, bit in enumerate(bits):
+    for b in range(64):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         out = out.bitwiseOR(F.shiftleft(bit, b))
-    return out
+    return votes.select("id", out.alias("sh"))
 
 
 def simhash_near_pairs(
@@ -180,9 +201,7 @@ def simhash_near_pairs(
     into ``chunks`` 16-bit blocks; by pigeonhole, any pair within
     ``chunks - 1`` bit flips collides on ≥1 block. Exact Hamming check
     reranks candidates."""
-    sim = df.select(
-        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
-    )
+    sim = simhash64_df(df, id_col, text_col)
     width = 64 // chunks
     banded = sim.select(
         "id",

@@ -31,6 +31,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark import StorageLevel
 
 from ontograph_spark import vocab
 from ontograph_spark.ontology.resources import (
@@ -361,7 +362,7 @@ def construct_kg(
     # content) is tiny and feeds several emitters — materialize it once so
     # the content column is scanned exactly twice overall (sha256 pass +
     # mention-extraction pass), never once per emitter branch.
-    meta = ingested.drop("content").persist()
+    meta = ingested.drop("content").persist(StorageLevel.DISK_ONLY)
     meta.count()  # eager: guarantees one content pass for the sha256 stage
     # Dedup mentions at the source (one small shuffle) so every emitter
     # produces set-distinct rows by construction — the expensive global
@@ -369,10 +370,12 @@ def construct_kg(
     mentions = (
         extract_mentions(ingested)
         .dropDuplicates(["repo", "path", "kind", "name"])
-        .persist()
+        .persist(StorageLevel.DISK_ONLY)
     )
     mentions.count()  # eager: one extraction pass feeds four consumers
-    linked = link_imports(mentions, module_dictionary(spark)).persist()
+    linked = link_imports(mentions, module_dictionary(spark)).persist(
+        StorageLevel.DISK_ONLY
+    )
     pairs = same_as_pairs(linked)
 
     # Branch split: module IRIs appear ONLY in the import-edge and

@@ -1,0 +1,117 @@
+"""Physical-plan shape assertions — the scale guarantees are properties
+of the plan, so they are pinned like behavior:
+
+* pattern-match filters reach the parquet scan (predicate pushdown);
+* column pruning reaches the scan (ReadSchema excludes unused columns);
+* entity linking uses broadcast hash joins (no shuffle of the mention
+  stream, never a nested-loop join);
+* the upsert anti-joins stay equi-joins (hash-joinable);
+* the salted write produces a partitioning expression that splits the
+  hot rdf:type predicate.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontograph_spark.ontology.resources import new_triple
+from ontograph_spark.pipeline.link import link_imports, module_dictionary
+from ontograph_spark.pipeline.materialize import salted_repartition
+from ontograph_spark.sources.ntriples import read_ntriples, write_ntriples
+from ontograph_spark.store import ParquetQuadStore
+from ontograph_spark.terms import mk_literal, mk_resource
+
+G = "https://g.example/plans"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def pstore(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("plans") / "quads")
+    s = ParquetQuadStore(spark, G, root, write_partitions=2)
+    s.add_triples(
+        [
+            new_triple(mk_resource(f"{G}#a"), mk_resource(f"{G}#rel"), mk_resource(f"{G}#b")),
+            new_triple(mk_resource(f"{G}#b"), mk_resource(f"{G}#rel"), mk_literal("x", "", "")),
+        ]
+    )
+    return s
+
+
+def test_pattern_match_pushes_filters_to_scan(pstore):
+    plan = plan_of(pstore.match_df("", mk_resource(f"{G}#rel"), ""))
+    assert "FileScan parquet" in plan
+    assert "PushedFilters" in plan
+    # both the graph scope and the predicate filter reach the scan
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "EqualTo(graph," in pushed and "EqualTo(pred," in pushed
+
+
+def test_column_pruning_reaches_scan(pstore):
+    plan = plan_of(pstore.match_df("", mk_resource(f"{G}#rel"), "").select("subj"))
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "obj" not in read_schema  # unused column pruned from the scan
+
+
+def test_linking_is_broadcast_hash_join(spark):
+    mentions = spark.createDataFrame(
+        [("r", "p", "python", "import", "corelib")],
+        ["repo", "path", "lang", "kind", "name"],
+    )
+    plan = plan_of(link_imports(mentions, module_dictionary(spark)))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_upsert_uses_hashable_anti_joins(spark, pstore):
+    subjects = spark.createDataFrame([(mk_resource(f"{G}#a"),)], ["subj"])
+    # build the kept-rows plan the same way upsert_subjects does
+    s = F.broadcast(subjects.select("subj").distinct())
+    keep = pstore.df().join(s, on="subj", how="left_anti")
+    keep = keep.join(s.withColumnRenamed("subj", "obj"), on="obj", how="left_anti")
+    plan = plan_of(keep)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_write_splits_hot_predicate(spark):
+    from ontograph_spark import vocab
+
+    rows = [
+        (f"<https://g#s{i}>", mk_resource(vocab.RDF_TYPE), "<https://g#C>", "g")
+        for i in range(100)
+    ] + [(f"<https://g#s{i}>", "<https://g#p>", f"<https://g#o{i}>", "g") for i in range(100)]
+    df = spark.createDataFrame(rows, ["subj", "pred", "obj", "graph"])
+    out = salted_repartition(df, 8, hot_salt=16, subj_salt=4)
+    # the partitioning expression must reference pred (hot-key branch)
+    plan = plan_of(out)
+    assert "hashpartitioning" in plan
+    assert "pred" in plan.split("hashpartitioning")[1].split(")")[0]
+    # hot rdf:type rows from ONE subject spread across many partitions
+    one_subj = [
+        ("<https://g#hot>", mk_resource(vocab.RDF_TYPE), f"<https://g#C{i}>", "g")
+        for i in range(64)
+    ]
+    hot = spark.createDataFrame(one_subj, ["subj", "pred", "obj", "graph"])
+    parts = (
+        salted_repartition(hot, 8, hot_salt=16, subj_salt=4)
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert parts >= 4  # same subject, hot predicate → several partitions
+
+
+def test_ntriples_round_trip(spark, tmp_path, pstore):
+    path = str(tmp_path / "nt")
+    write_ntriples(pstore.df(), path)
+    back = read_ntriples(spark, path, G)
+    got = {(r["subj"], r["pred"], r["obj"]) for r in back.collect()}
+    want = {(r["subj"], r["pred"], r["obj"]) for r in pstore.df().collect()}
+    assert got == want
