@@ -535,6 +535,221 @@ FROM (
 """
 
 
+def q_docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: word pieces + digits + marks via one
+    regexp — same pattern, Java regex vs RE2, both leftmost-first."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.bpe_ish_token_count("text").alias("n_bpe"))
+
+
+_SQL_DOCS_BPE_TOKENS = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '([A-Za-z]{1,6}|[0-9]|[^\sA-Za-z0-9])')) AS n_bpe
+FROM documents
+"""
+
+
+def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs over an inverted shingle
+    index (pairs sharing ≥1 5-gram), milli-scaled for exact compare."""
+    from ontograph_spark.functions.dedup import ngram_jaccard_index_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_index_pairs(docs, "doc_id", threshold=0.5)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("jaccard") * 1000).cast("bigint").alias("jaccard_milli"),
+    )
+
+
+_SQL_DOCS_NGRAM_JACCARD = r"""
+WITH nrm AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(length(t) - 4, 1)),
+           i -> substring(t, i, 5)))) AS s
+  FROM nrm
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+it AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) * 1000) AS BIGINT)
+         AS jaccard_milli
+FROM it
+JOIN sz sa ON it.id_a = sa.doc_id
+JOIN sz sb ON it.id_b = sb.doc_id
+WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+"""
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN top-k (the scale path next to the
+    brute-force baseline): queries score only their signature bucket."""
+    from ontograph_spark.functions.similarity import lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    return lsh_topk(emb, queries, dim=64, k=5, num_planes=8).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def _lsh_topk_sql(num_planes: int = 8, dim: int = 64, k: int = 5) -> str:
+    """Oracle twin of q_emb_lsh_topk: the deterministic sha256-derived
+    hyperplanes are inlined as literal arrays (repr round-trips doubles
+    exactly, so both engines see identical planes)."""
+    from ontograph_spark.functions.similarity import _hyperplane
+
+    bits = []
+    for p in range(num_planes):
+        arr = "[" + ", ".join(repr(x) for x in _hyperplane(dim, p)) + "]"
+        bits.append(
+            f"(CASE WHEN list_dot_product(e, {arr}) >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = "\n     + ".join(bits)
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+sig AS (SELECT vec_id, e, {bucket} AS bucket FROM v),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         {_cos_sql('q.e', 'n.e')} AS sim
+  FROM sig q JOIN sig n ON q.bucket = n.bucket AND q.vec_id <> n.vec_id
+  WHERE q.vec_id < 3
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: deterministic seeds + one Lloyd
+    step, queries probe the 4 nearest of 16 cells."""
+    from ontograph_spark.functions.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    return ivf_topk(emb, queries, k=5, nlist=16, nprobe=4).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+# Oracle twin of ivf_topk: both engines compute centroid means as a
+# *sequential* fold in member-id order (list_reduce over ORDER BY vec_id
+# ≡ F.aggregate over array_sort), so cell assignment is bit-identical.
+_SQL_EMB_IVF_TOPK = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+seeds AS (
+  SELECT vec_id AS cid, e AS cv FROM v
+  WHERE vec_id % 62 = 0 ORDER BY vec_id LIMIT 16
+),
+a1 AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, s.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_cos_sql('v.e', 's.cv')} DESC, s.cid
+           ) AS rn
+    FROM v CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+el AS (
+  SELECT cid, vec_id, generate_subscripts(e, 1) AS pos, unnest(e) AS x FROM a1
+),
+cm AS (
+  SELECT cid, pos,
+         list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b) / count(*) AS x
+  FROM el GROUP BY cid, pos
+),
+cent AS (SELECT cid, list(x ORDER BY pos) AS cv FROM cm GROUP BY cid),
+cells AS (
+  SELECT vec_id AS neighbor_id, e AS nv, cid FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_cos_sql('v.e', 'c.cv')} DESC, c.cid
+           ) AS rn
+    FROM v CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT v.vec_id AS query_id, v.e AS qv, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_cos_sql('v.e', 'c.cv')} DESC, c.cid
+           ) AS rn
+    FROM v CROSS JOIN cent c WHERE v.vec_id < 3
+  ) WHERE rn <= 4
+),
+scored AS (
+  SELECT p.query_id, cells.neighbor_id,
+         {_cos_sql('p.qv', 'cells.nv')} AS sim
+  FROM probes p JOIN cells ON p.cid = cells.cid
+  WHERE p.query_id <> cells.neighbor_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: synthesize binary media rows,
+    size-bucketed repartition, Arrow-batched feature extraction (fake
+    decoder — codecs are stubbed), rollup by kind. Rows-only check; the
+    byte-exact feature values are pinned in tests/test_functions.py."""
+    from ontograph_spark.functions.multimodal import (
+        extract_features,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(spark, 300)
+    feats = extract_features(media, dim=16)
+    return (
+        feats.groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_bytes").alias("total_bytes"))
+        .orderBy("kind")
+    )
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out: one row per sampled frame timestamp
+    (decode stubbed, plumbing real). Rows-only check."""
+    from ontograph_spark.functions.multimodal import (
+        frame_sample,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(spark, 300)
+    return (
+        frame_sample(media, every_ms=1000)
+        .groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+        .orderBy("kind")
+    )
+
+
 def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs — banded signature equi-join
     (not SQL-expressible compactly; the driver records a rows-only check,
@@ -606,6 +821,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_type_stats": q_part_type_stats,
         "user_sessions": q_user_sessions,
         "docs_quality": q_docs_quality,
+        "docs_bpe_tokens": q_docs_bpe_tokens,
+        "docs_ngram_jaccard": q_docs_ngram_jaccard,
+        "emb_lsh_topk": q_emb_lsh_topk,
+        "emb_ivf_topk": q_emb_ivf_topk,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
         "docs_minhash_pairs": q_docs_minhash_pairs,
         "docs_simhash_pairs": q_docs_simhash_pairs,
         "emb_near_dup": q_emb_near_dup,
@@ -637,6 +858,11 @@ def oracle_sql() -> dict[str, str]:
         "part_type_stats": _SQL_PART_TYPE_STATS,
         "user_sessions": _SQL_USER_SESSIONS,
         "docs_quality": _SQL_DOCS_QUALITY,
+        "docs_bpe_tokens": _SQL_DOCS_BPE_TOKENS,
+        "docs_ngram_jaccard": _SQL_DOCS_NGRAM_JACCARD,
+        "emb_lsh_topk": _lsh_topk_sql(),
+        "emb_ivf_topk": _SQL_EMB_IVF_TOPK,
         # docs_minhash_pairs / docs_simhash_pairs / emb_near_dup /
-        # kg_pipeline_smoke: non-SQL-expressible → rows-only checks
+        # multimodal_features / multimodal_frames / kg_pipeline_smoke:
+        # non-SQL-expressible → rows-only checks
     }

@@ -163,6 +163,46 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_index_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via an inverted shingle index:
+    candidates are pairs sharing ≥1 shingle (equi-join on the shingle),
+    then Jaccard = |∩| / (|A| + |B| - |∩|) from plain counts — fully
+    SQL-expressible, so it carries a DuckDB oracle. At corpus scale,
+    prefer :func:`ngram_jaccard_pairs` (LSH candidates): the inverted
+    index blows up on stop-shingles; here the threshold prunes output,
+    not the join."""
+    sh = _exploded_shingles(df, id_col, text_col, shingle_k).distinct()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("i")
+    ).cast("double")
+    return (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a"
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b"
+        )
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash64_df(
     df: DataFrame, id_col: str, text_col: str = "text", shingle_k: int = 4
 ) -> DataFrame:

@@ -168,6 +168,7 @@ def ivf_topk(
     seeds = (
         v.withColumn("_m", F.col("neighbor_id") % F.lit(max(1, 997 // nlist)))
         .where(F.col("_m") == 0)
+        .orderBy("neighbor_id")  # deterministic seed set (limit alone isn't)
         .limit(nlist)
         .select(F.col("neighbor_id").alias("cid"), F.col("nv").alias("cv"))
     )
@@ -187,10 +188,23 @@ def ivf_topk(
         .where(F.col("rn") == 1)
         .select("neighbor_id", "nv", "cid")
     )
+    # Element-wise centroid means via a *sequential* fold in member-id
+    # order: a plain avg() sums partials in partition order, which is not
+    # bit-deterministic run to run; sorted-fold means are, so IVF results
+    # are reproducible and cross-engine checkable.
+    member_mean = (
+        F.aggregate(
+            F.transform("xs", lambda s: s["x"]),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        / F.size("xs")
+    )
     centroids = F.broadcast(
-        assigned.select("cid", F.posexplode("nv").alias("pos", "x"))
+        assigned.select("neighbor_id", "cid", F.posexplode("nv").alias("pos", "x"))
         .groupBy("cid", "pos")
-        .agg(F.avg("x").alias("x"))
+        .agg(F.array_sort(F.collect_list(F.struct("neighbor_id", "x"))).alias("xs"))
+        .select("cid", "pos", member_mean.alias("x"))
         .groupBy("cid")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "x"))).alias("px"))
         .select("cid", F.transform("px", lambda s: s["x"]).alias("cv"))

@@ -120,6 +120,31 @@ def test_ngram_jaccard(spark, docs_df):
     assert all(a != 3 and b != 4 or (a, b) == (3, 4) for a, b in pairs) or (3, 4) not in pairs
 
 
+def test_ngram_jaccard_index_pairs_vs_python(spark, docs_df):
+    from ontograph_spark.functions.dedup import ngram_jaccard_index_pairs
+
+    def sh(t, k=5):
+        norm = re.sub(r"\s+", " ", t.strip()).lower()
+        n = max(len(norm) - (k - 1), 1)
+        return {norm[i : i + k] for i in range(n)}
+
+    sets = {i: sh(t) for i, t in DOCS}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] & sets[b]:
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if j >= 0.5:
+                    want[(a, b)] = j
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_index_pairs(docs_df, "doc_id", threshold=0.5).collect()
+    }
+    assert got.keys() == want.keys()
+    for k_ in got:
+        assert got[k_] == pytest.approx(want[k_], abs=1e-12)
+
+
 def test_simhash_near_pairs(spark, docs_df):
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
