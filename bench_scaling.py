@@ -2,21 +2,28 @@
 """Scaling-efficiency evidence: the same construction job at two
 parallelism levels (sandbox proxy for N vs 4N executors).
 
-Runs KG construction over an identical on-disk input at ``local[8]`` and
-``local[32]`` in fresh JVMs (subprocesses), several timed runs each, and
-reports medians plus efficiency = (T_8 / T_32) / 4. Input, shuffle
-partitioning rule and code are identical across levels; only the core
-count changes.
+Methodology (tuned for a noisy shared host — see BENCH/BASELINE.md):
 
-Usage: python bench_scaling.py [rows] [runs] [N] [4N]
-(defaults 1_000_000, 3, 2, 8)
+* **Fresh JVM per timed run** (subprocess), matching the per-job
+  ``spark-submit`` production shape and preventing within-JVM state
+  (codegen classes, shuffle files, GC growth) from bleeding across runs.
+* **Interleaved levels** — runs alternate N, 4N, N, 4N … so slow host
+  windows hit both levels equally instead of biasing one phase.
+* **min-of-K** per level is the headline (the minimum estimates the
+  uncontended wall; medians are reported alongside). This host shows
+  multi-minute throttle windows (identical runs: 45 s … 683 s), so a
+  median over few runs measures the hypervisor, not the code.
+* Input parquet and all Spark scratch live on tmpfs (/dev/shm): one
+  machine shares one disk across "clusters", which a real N-vs-4N
+  cluster would not — IO must not be the variable.
+* Identical input, shuffle partitioning and code at both levels; only
+  the core count changes.
 
-Why N=2 vs 4N=8 by default: this box exposes 32 logical CPUs but only
-~16 physical cores (a multiprocessing sha256 burn measures ~20 effective
-cores at 32 procs), so 8→32 *threads* cannot exhibit true 4× hardware.
-2→8 threads run on dedicated physical cores and measure genuine 4×
-parallelism — the quantity the N-vs-4N-executor rule proxies. Pass 8 32
-explicitly for the SMT-limited secondary data point.
+Usage: python bench_scaling.py [rows] [pairs] [N] [4N]
+(defaults 500_000, 4, 2, 8)
+
+Why N=2 / 4N=8: both well under the 32 hardware threads, so each level
+gets dedicated cores and the 4x core ratio is real.
 
 Writes BENCH/scaling_{N}_{4N}.json and prints one JSON line.
 """
@@ -25,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import statistics
 import subprocess
 import sys
@@ -32,21 +40,15 @@ import tempfile
 
 RUNNER = r"""
 import json, os, shutil, sys, time, tempfile
-from bench import build_spark
-
-# Isolate compute scaling: on ONE box all cores share one disk, so a
-# disk-bound run reports flat scaling that a real N-vs-4N cluster (where
-# every executor brings its own disks) would not show. Shuffle dirs and
-# outputs go to tmpfs, keeping per-core IO bandwidth constant across the
-# two levels — the quantity the efficiency metric is meant to capture.
 os.environ["SPARK_LOCAL_DIRS"] = "/dev/shm/og_spark_local"
 os.makedirs("/dev/shm/og_spark_local", exist_ok=True)
-
+from bench import build_spark
 from ontograph_spark.pipeline.construct import construct_kg
 from ontograph_spark.pipeline.materialize import salted_repartition
 
-cpus, src, runs = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+cpus, src = int(sys.argv[1]), sys.argv[2]
 spark = build_spark(cpus)
+spark.sparkContext.setLogLevel("ERROR")
 files = spark.read.parquet(src)
 
 def one(frac=None):
@@ -58,29 +60,38 @@ def one(frac=None):
         "overwrite").parquet(out)
     wall = time.time() - t0
     n = spark.read.parquet(out).count()
-    shutil.rmtree(out, ignore_errors=True)  # keep tmpfs bounded
+    shutil.rmtree(out, ignore_errors=True)
     return wall, n
 
-one(0.2)  # warmup: JIT/codegen compile, python worker spin-up (untimed)
-walls, triples = [], 0
-for _ in range(runs):
-    # construct_kg persists intermediates; identical logical plans would
-    # otherwise hit the previous run's cache and time nothing
-    spark.catalog.clearCache()
-    wall, triples = one()
-    walls.append(wall)
+one(0.1)  # warmup: codegen compile, python worker spin-up (untimed)
+spark.catalog.clearCache()
+wall, triples = one()  # ONE timed run per JVM
 spark.stop()
-print(json.dumps({"walls": walls, "triples": triples}))
+print(json.dumps({"wall": wall, "triples": triples}))
 """
 
 
+def run_once(cpus: int, src: str) -> tuple[float, int]:
+    p = subprocess.run(
+        [sys.executable, "-c", RUNNER, str(cpus), src],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    if p.returncode != 0:
+        sys.stderr.write(p.stderr[-2000:])
+        sys.exit(1)
+    r = json.loads(p.stdout.strip().splitlines()[-1])
+    return r["wall"], r["triples"]
+
+
 def main() -> None:
-    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+    pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     n_lo = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     n_hi = int(sys.argv[4]) if len(sys.argv) > 4 else 8
 
-    src = tempfile.mkdtemp(prefix="og_scale_src_")
+    src = tempfile.mkdtemp(prefix="og_scale_src_", dir="/dev/shm")
     gen = subprocess.run(
         [
             sys.executable,
@@ -94,40 +105,49 @@ def main() -> None:
         ],
         capture_output=True,
         text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
     )
     if gen.returncode != 0:
         sys.stderr.write(gen.stderr[-2000:])
         sys.exit(1)
 
-    results: dict[str, dict] = {}
-    for cpus in (n_lo, n_hi):
-        p = subprocess.run(
-            [sys.executable, "-c", RUNNER, str(cpus), src, str(runs)],
-            capture_output=True,
-            text=True,
-        )
-        if p.returncode != 0:
-            sys.stderr.write(p.stderr[-2000:])
-            sys.exit(1)
-        r = json.loads(p.stdout.strip().splitlines()[-1])
-        walls, triples = r["walls"], r["triples"]
-        med = statistics.median(walls)
-        results[f"local[{cpus}]"] = {
-            "walls_sec": [round(w, 1) for w in walls],
-            "median_sec": round(med, 1),
+    walls: dict[int, list[float]] = {n_lo: [], n_hi: []}
+    triples = 0
+    try:
+        for _ in range(pairs):
+            for cpus in (n_lo, n_hi):
+                wall, triples = run_once(cpus, src)
+                walls[cpus].append(round(wall, 1))
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+    def level(cpus: int) -> dict:
+        w = walls[cpus]
+        return {
+            "walls_sec": w,
+            "min_sec": round(min(w), 1),
+            "median_sec": round(statistics.median(w), 1),
             "triples": triples,
-            "triples_per_sec": round(triples / med, 1),
+            "triples_per_sec_at_min": round(triples / min(w), 1),
         }
 
-    t_lo = results[f"local[{n_lo}]"]["median_sec"]
-    t_hi = results[f"local[{n_hi}]"]["median_sec"]
+    results = {f"local[{n_lo}]": level(n_lo), f"local[{n_hi}]": level(n_hi)}
     factor = n_hi / n_lo
     out = {
         "rows": rows,
-        "runs": runs,
+        "pairs": pairs,
         "levels": [n_lo, n_hi],
+        "methodology": "fresh JVM per run, interleaved levels, min-of-K "
+        "(noisy-host de-noising; medians alongside), tmpfs IO",
         "results": results,
-        "efficiency": round((t_lo / t_hi) / factor, 3),
+        "efficiency_min": round(
+            (min(walls[n_lo]) / min(walls[n_hi])) / factor, 3
+        ),
+        "efficiency_median": round(
+            (statistics.median(walls[n_lo]) / statistics.median(walls[n_hi]))
+            / factor,
+            3,
+        ),
     }
     os.makedirs("BENCH", exist_ok=True)
     with open(f"BENCH/scaling_{n_lo}_{n_hi}.json", "w") as f:

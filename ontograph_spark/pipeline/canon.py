@@ -80,15 +80,18 @@ def canonical_mapping(
     collected and solved with union-find on the driver (a distributed
     iteration on a tiny graph is pure scheduler overhead); larger sets run
     the distributed label-propagation loop. Both paths produce identical
-    mappings — pinned by tests/test_canon.py."""
-    edges = edges.localCheckpoint(eager=True)
-    n_edges = edges.count()
-    if n_edges == 0:
+    mappings — pinned by tests/test_canon.py.
+
+    Action discipline: the small path costs exactly ONE Spark action (a
+    bounded ``take``) — no checkpoint, no separate count — because this
+    sits on the critical path of every construction run."""
+    sample = edges.take(driver_threshold + 1)
+    if len(sample) <= driver_threshold:
+        out = union_find_mapping([(r["src"], r["dst"]) for r in sample])
         return edges.sparkSession.createDataFrame(
-            [], "node string, component string"
+            out or [], "node string, component string"
         )
-    if n_edges <= driver_threshold:
-        return _driver_canonical_mapping(edges)
+    edges = edges.localCheckpoint(eager=True)
     comp = connected_components(edges, max_iterations)
     targets = edges.select(F.col("dst").alias("node")).distinct()
     canon_reps = (
@@ -108,9 +111,13 @@ def canonical_mapping(
     )
 
 
-def _driver_canonical_mapping(edges: DataFrame) -> DataFrame:
-    """Union-find twin of the distributed path, for small edge sets."""
-    rows = edges.collect()
+def union_find_mapping(
+    edge_tuples: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    """Pure-Python union-find over ``(src, dst)`` string edges →
+    ``[(node, representative)]`` for every non-representative node.
+    Representative preference matches the distributed path: smallest
+    member that appears as an edge target, else smallest member."""
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -121,9 +128,9 @@ def _driver_canonical_mapping(edges: DataFrame) -> DataFrame:
         return x
 
     targets: set[str] = set()
-    for r in rows:
-        targets.add(r["dst"])
-        ra, rb = find(r["src"]), find(r["dst"])
+    for src, dst in edge_tuples:
+        targets.add(dst)
+        ra, rb = find(src), find(dst)
         if ra != rb:
             lo, hi = sorted([ra, rb])
             parent[hi] = lo
@@ -135,6 +142,13 @@ def _driver_canonical_mapping(edges: DataFrame) -> DataFrame:
         canon = sorted(n for n in nodes if n in targets)
         rep = canon[0] if canon else min(nodes)
         out.extend((n, rep) for n in nodes if n != rep)
+    return out
+
+
+def _driver_canonical_mapping(edges: DataFrame) -> DataFrame:
+    """Union-find twin of the distributed path, for small edge sets."""
+    rows = [(r["src"], r["dst"]) for r in edges.collect()]
+    out = union_find_mapping(rows)
     return edges.sparkSession.createDataFrame(
         out or [], "node string, component string"
     )

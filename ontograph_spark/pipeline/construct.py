@@ -39,7 +39,11 @@ from ontograph_spark.ontology.resources import (
     OntologyDataProperty,
     OntologyObjectProperty,
 )
-from ontograph_spark.pipeline.canon import canonical_mapping, rewrite_terms
+from ontograph_spark.pipeline.canon import (
+    canonical_mapping,
+    rewrite_terms,
+    union_find_mapping,
+)
 from ontograph_spark.pipeline.extract import extract_mentions
 from ontograph_spark.pipeline.link import (
     link_imports,
@@ -348,6 +352,10 @@ def schema_quads(spark: SparkSession, graph_uri: str) -> DataFrame:
 # -- orchestration ----------------------------------------------------------
 
 
+#: alias-pair sets above this size fall back to the distributed CC path
+PAIRS_DRIVER_THRESHOLD = 100_000
+
+
 def construct_kg(
     spark: SparkSession,
     files: DataFrame,
@@ -355,15 +363,24 @@ def construct_kg(
     canonicalize: bool = True,
     include_schema: bool = True,
 ) -> DataFrame:
-    """Full construction plan; returns the (deduplicated) quad DataFrame."""
+    """Full construction plan; returns the (deduplicated) quad DataFrame.
+
+    Action discipline: exactly ONE Spark action runs in here — a bounded
+    ``take`` of the distinct alias pairs (tiny: bounded by the alias
+    vocabulary, not the corpus). That single job also materializes the
+    mentions and linked caches as a side effect, so the caller's write
+    job is the only other action. Job-submission barriers are pure serial
+    time (they were ~half the wall at 500k rows before this restructure),
+    so the count is part of the design, not an accident.
+    """
     ns = graph_uri
     ingested = ingest(files, ns)
     # Stage the ingest: file metadata (with the sha256 invariant, without
-    # content) is tiny and feeds several emitters — materialize it once so
-    # the content column is scanned exactly twice overall (sha256 pass +
-    # mention-extraction pass), never once per emitter branch.
+    # content) is tiny and feeds several emitters — cache it so the
+    # content column is scanned exactly twice overall (sha256 pass +
+    # mention-extraction pass), never once per emitter branch. The cache
+    # materializes lazily inside the caller's write job.
     meta = ingested.drop("content").persist(StorageLevel.DISK_ONLY)
-    meta.count()  # eager: guarantees one content pass for the sha256 stage
     # Dedup mentions at the source (one small shuffle) so every emitter
     # produces set-distinct rows by construction — the expensive global
     # dedup over the full quad stream disappears.
@@ -372,11 +389,17 @@ def construct_kg(
         .dropDuplicates(["repo", "path", "kind", "name"])
         .persist(StorageLevel.DISK_ONLY)
     )
-    mentions.count()  # eager: one extraction pass feeds four consumers
     linked = link_imports(mentions, module_dictionary(spark)).persist(
         StorageLevel.DISK_ONLY
     )
     pairs = same_as_pairs(linked)
+
+    # The ONE action: pull the distinct alias pairs to the driver
+    # (bounded take — materializes mentions+linked caches en route) and
+    # solve canonicalization with union-find on minted terms, identical
+    # to canon.canonical_mapping's driver path. Oversized pair sets
+    # (adversarial alias graphs) take the distributed CC path instead.
+    pair_rows = pairs.take(PAIRS_DRIVER_THRESHOLD + 1) if canonicalize else []
 
     # Branch split: module IRIs appear ONLY in the import-edge and
     # module-entity branches — canonicalization rewrites (and re-dedups)
@@ -396,13 +419,30 @@ def construct_kg(
         emit_module_quads(linked, pairs, ns)
     )
     if canonicalize:
-        edges = pairs.select(
-            resource_term(mint_uri_col(ns, "module", F.col("name"))).alias("src"),
-            resource_term(mint_uri_col(ns, "module", F.col("canonical"))).alias(
-                "dst"
-            ),
-        )
-        module_branch = rewrite_terms(module_branch, canonical_mapping(edges))
+        if len(pair_rows) <= PAIRS_DRIVER_THRESHOLD:
+            edge_tuples = [
+                (
+                    mk_resource(mint_uri_py(ns, "module", r["name"])),
+                    mk_resource(mint_uri_py(ns, "module", r["canonical"])),
+                )
+                for r in pair_rows
+            ]
+            mapping_rows = union_find_mapping(edge_tuples)
+            if mapping_rows:
+                mapping = spark.createDataFrame(
+                    mapping_rows, "node string, component string"
+                )
+                module_branch = rewrite_terms(module_branch, mapping)
+        else:
+            edges = pairs.select(
+                resource_term(mint_uri_col(ns, "module", F.col("name"))).alias(
+                    "src"
+                ),
+                resource_term(
+                    mint_uri_col(ns, "module", F.col("canonical"))
+                ).alias("dst"),
+            )
+            module_branch = rewrite_terms(module_branch, canonical_mapping(edges))
     module_branch = module_branch.dropDuplicates(
         ["subj", "pred", "obj", "graph"]
     )
