@@ -259,11 +259,13 @@ def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#  DuckDB sums BIGINT into HUGEINT (int128); the driver hashes typed
+#  values, so every aggregate sum is cast back to BIGINT to match Spark.
 _SQL_LINEITEM_PRICING = """
 SELECT l_returnflag, l_linestatus,
        count(*) AS n_rows,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
@@ -344,7 +346,7 @@ _SQL_EVENTS_HOURLY = """
 SELECT event_type,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        count(*) AS n,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY 1, 2
 """
 
@@ -466,7 +468,7 @@ def q_part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_PART_TYPE_STATS = """
 SELECT p_brand, count(*) AS n_parts,
-       sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS sum_price_cents,
+       CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
        max(p_size) AS max_size
 FROM part GROUP BY p_brand
 """
@@ -493,7 +495,7 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_USER_SESSIONS = """
-SELECT user_id, sum(s) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(s) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM (
   SELECT user_id,
     CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
@@ -550,12 +552,20 @@ FROM documents
 
 
 def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs over an inverted shingle
-    index (pairs sharing ≥1 5-gram), milli-scaled for exact compare."""
-    from ontograph_spark.functions.dedup import ngram_jaccard_index_pairs
+    """Exact all-pairs n-gram Jaccard (t=0.5) — bitmap-verification path.
+
+    The testdata corpus is templated with a tiny shingle vocabulary
+    (2,041 distinct 5-grams at sf0.1), which defeats both the naive
+    inverted-index join (Σ df² ≈ 769M exploded pair rows; DuckDB itself
+    needs 120 s) and AllPairs prefix filtering (at t=0.5 the prefix is
+    half of each doc and every shingle is common — measured 594-671 s at
+    sf0.1 in round 1). ngram_jaccard_bitmap_pairs interns the vocabulary
+    to dense bits and verifies length-eligible pairs with AND+popcount —
+    exact, so the naive DuckDB oracle is unchanged."""
+    from ontograph_spark.functions.dedup import ngram_jaccard_bitmap_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_index_pairs(docs, "doc_id", threshold=0.5)
+    pairs = ngram_jaccard_bitmap_pairs(docs, "doc_id", threshold=0.5)
     return pairs.select(
         "id_a",
         "id_b",
@@ -751,40 +761,211 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate pairs — banded signature equi-join
-    (not SQL-expressible compactly; the driver records a rows-only check,
-    and tests/test_functions.py pins semantics with a Python oracle)."""
+    """MinHash-LSH near-dup candidate pairs — banded signature equi-join.
+
+    Uses the cross-engine md5-derived 60-bit hash (functions/dedup.h60),
+    so the DuckDB oracle recomputes the identical signatures and band
+    collisions — a full row/schema/hash check (the xxhash64 fast path
+    keeps its Python-oracle pin in tests/test_functions.py)."""
     from ontograph_spark.functions.dedup import minhash_lsh_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, "doc_id", num_hashes=16, bands=4)
+    return minhash_lsh_pairs(docs, "doc_id", num_hashes=16, bands=4, hash="md5")
+
+
+def _minhash_pairs_sql(num_hashes: int = 16, bands: int = 4, shingle_k: int = 5) -> str:
+    """Oracle twin of q_docs_minhash_pairs: identical md5-keyed minhash
+    signatures, identical banding."""
+    from ontograph_spark.functions.dedup import h60_sql
+
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min({h60_sql('s', i)}) AS h{i}" for i in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, [{cols}] AS slice FROM m".format(
+            b=b,
+            cols=", ".join(f"h{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH nrm AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(length(t) - {shingle_k - 1}, 1)),
+           i -> substring(t, i, {shingle_k}))) AS s
+  FROM nrm
+),
+m AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  {band_selects}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.slice = b.slice AND a.doc_id < b.doc_id
+"""
 
 
 def q_docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-radius near-dup pairs — rows-only check."""
+    """SimHash Hamming-radius near-dup pairs (md5-keyed 60-bit simhash,
+    7 pigeonhole chunks so recall is complete up to max_hamming=6) —
+    full DuckDB oracle."""
     from ontograph_spark.functions.dedup import simhash_near_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs, "doc_id", max_hamming=6)
+    pairs = simhash_near_pairs(docs, "doc_id", max_hamming=6, hash="md5")
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+
+def _simhash_pairs_sql(max_hamming: int = 6, shingle_k: int = 4) -> str:
+    """Oracle twin of q_docs_simhash_pairs: identical 60-bit md5 simhash,
+    identical chunk banding."""
+    from ontograph_spark.functions.dedup import (
+        h60_sql,
+        simhash_bits,
+        simhash_chunk_bounds,
+    )
+
+    nbits = simhash_bits("md5")
+    chunks = max_hamming + 1
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(nbits)
+    )
+    pack = "\n       + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)::BIGINT"
+        for b in range(nbits)
+    )
+    chunk_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, sh, {c} AS chunk, (sh >> {shift}) & {(1 << width) - 1} AS key FROM sim"
+        for c, (shift, width) in enumerate(simhash_chunk_bounds(nbits, chunks))
+    )
+    return f"""
+WITH nrm AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+sh_tab AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(length(t) - {shingle_k - 1}, 1)),
+           i -> substring(t, i, {shingle_k}))) AS s
+  FROM nrm
+),
+h AS (SELECT doc_id, {h60_sql('s', 0)} AS h FROM sh_tab),
+v AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+),
+sim AS (
+  SELECT doc_id,
+       {pack}
+       AS sh
+  FROM v
+),
+banded AS (
+  {chunk_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sh AS sa, b.sh AS sb
+  FROM banded a JOIN banded b
+    ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
 
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via hyperplane LSH — rows-only."""
+    """Embedding-cosine near-dup pairs via hyperplane LSH + exact rerank.
+
+    The testdata embeddings are near-random (max pairwise cosine ≈ 0.48
+    at sf0.001), so the threshold is 0.3 — low enough that the expected
+    pair set is non-empty at every SF (23/18/287 pairs at sf0.001/0.01/
+    0.1). Full DuckDB oracle: the sha256-derived hyperplanes are inlined
+    as literals, so both engines compute identical buckets and cosines."""
     from ontograph_spark.functions.similarity import embedding_near_dup_pairs
 
     emb = _read(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, dim=64, threshold=0.9, num_planes=8)
+    pairs = embedding_near_dup_pairs(emb, dim=64, threshold=0.3, num_planes=8)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("sim") * 1000).cast("bigint").alias("sim_milli"),
+    )
+
+
+def _emb_near_dup_sql(num_planes: int = 8, dim: int = 64, threshold: float = 0.3) -> str:
+    """Oracle twin of q_emb_near_dup (same inlined-plane trick as
+    :func:`_lsh_topk_sql`)."""
+    from ontograph_spark.functions.similarity import _hyperplane
+
+    bits = []
+    for p in range(num_planes):
+        arr = "[" + ", ".join(repr(x) for x in _hyperplane(dim, p)) + "]"
+        bits.append(
+            f"(CASE WHEN list_dot_product(e, {arr}) >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = "\n     + ".join(bits)
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+sig AS (SELECT vec_id, e, {bucket} AS bucket FROM v)
+SELECT id_a, id_b, CAST(round(sim * 1000) AS BIGINT) AS sim_milli FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_cos_sql('a.e', 'b.e')} AS sim
+  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+WHERE sim >= {threshold}
+"""
 
 
 def q_kg_pipeline_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end KG construction on a deterministic synthesized repo
-    table — rows-only check (the P/R gate lives in the golden tests)."""
+    table (500 rows, fixed seed — sf-independent). The oracle is a
+    golden VALUES pin of the per-predicate triple counts: the full
+    pipeline (extract → link → canonicalize → materialize) is not
+    SQL-expressible, but its output on this input is deterministic, so
+    pinning the aggregate is a real regression check. The per-triple
+    P/R ≥ 0.95 gate against the pure-Python emitter oracle lives in
+    tests/test_pipeline.py."""
     from ontograph_spark.pipeline.construct import construct_kg
     from ontograph_spark.pipeline.repo_source import synthesize_repo_table
 
     files = synthesize_repo_table(spark, 500, partitions=4)
     quads = construct_kg(spark, files)
     return quads.groupBy("pred").agg(F.count(F.lit(1)).alias("n")).orderBy("pred")
+
+
+_SQL_KG_PIPELINE_SMOKE = """
+SELECT pred, CAST(n AS BIGINT) AS n FROM (VALUES
+  ('<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>', 3140),
+  ('<http://www.w3.org/2000/01/rdf-schema#domain>', 4),
+  ('<http://www.w3.org/2000/01/rdf-schema#label>', 1071),
+  ('<http://www.w3.org/2000/01/rdf-schema#range>', 3),
+  ('<http://www.w3.org/2002/07/owl#sameAs>', 5),
+  ('<https://ontograph.dev/code#checksum>', 500),
+  ('<https://ontograph.dev/code#commitId>', 500),
+  ('<https://ontograph.dev/code#declares>', 1000),
+  ('<https://ontograph.dev/code#imports>', 924),
+  ('<https://ontograph.dev/code#inRepo>', 500),
+  ('<https://ontograph.dev/code#lang>', 500),
+  ('<https://ontograph.dev/code#path>', 500),
+  ('<https://ontograph.dev/code#refersToRepo>', 161)
+) v(pred, n)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -862,7 +1043,11 @@ def oracle_sql() -> dict[str, str]:
         "docs_ngram_jaccard": _SQL_DOCS_NGRAM_JACCARD,
         "emb_lsh_topk": _lsh_topk_sql(),
         "emb_ivf_topk": _SQL_EMB_IVF_TOPK,
-        # docs_minhash_pairs / docs_simhash_pairs / emb_near_dup /
-        # multimodal_features / multimodal_frames / kg_pipeline_smoke:
-        # non-SQL-expressible → rows-only checks
+        "emb_near_dup": _emb_near_dup_sql(),
+        "docs_minhash_pairs": _minhash_pairs_sql(),
+        "docs_simhash_pairs": _simhash_pairs_sql(),
+        "kg_pipeline_smoke": _SQL_KG_PIPELINE_SMOKE,
+        # multimodal_features / multimodal_frames: genuinely
+        # non-SQL-expressible (Arrow mapInPandas stages) → rows-only
+        # checks; byte-exact values are pinned in tests/test_functions.py
     }

@@ -51,6 +51,23 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     return ranked.where(F.col("_rn") == 1).drop("_rn", "_digest")
 
 
+def h60(c: Column, seed: int) -> Column:
+    """Cross-engine 60-bit hash: the first 15 hex chars of
+    ``md5(value ':' seed)`` parsed as an integer. Deterministic and
+    identically computable in DuckDB as
+    ``('0x' || substring(md5(s || ':<seed>'), 1, 15))::BIGINT`` — used by
+    the sketch variants whose contract entries carry a full SQL oracle
+    (xxhash64 has no DuckDB equivalent). 60 bits keeps the value inside a
+    signed 64-bit long on both engines."""
+    key = F.concat_ws(":", c, F.lit(str(seed)))
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+
+
+def h60_sql(expr: str, seed: int) -> str:
+    """DuckDB twin of :func:`h60` (same bytes, same integer)."""
+    return f"('0x' || substring(md5({expr} || ':{seed}'), 1, 15))::BIGINT"
+
+
 def _fanout(df: DataFrame, id_col: str) -> DataFrame:
     """Repartition ahead of shingle explode: the shingle table is
     ~200x its input, so partitioning must track the EXPLODED size, not
@@ -79,15 +96,25 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 32,
     shingle_k: int = 5,
+    hash: str = "xx",
 ) -> DataFrame:
     """(id, sig: array<long>) — per id the min over shingles of
-    xxhash64(shingle, seed_i), one map-side-combining aggregate. Seeds are
+    hash_i(shingle), one map-side-combining aggregate. Seeds are
     constant, so signatures are deterministic across runs. Documents too
-    short to shingle produce no row (they cannot near-dup anyway)."""
+    short to shingle produce no row (they cannot near-dup anyway).
+
+    ``hash='xx'`` (default) uses xxhash64 — the fast JVM path;
+    ``hash='md5'`` uses the cross-engine 60-bit :func:`h60` so a DuckDB
+    oracle can recompute identical signatures."""
+    if hash not in ("xx", "md5"):
+        raise ValueError(hash)
     e = _exploded_shingles(df, id_col, text_col, shingle_k)
-    aggs = [
-        F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
-    ]
+    mk = (
+        (lambda i: F.xxhash64("s", F.lit(i)))
+        if hash == "xx"
+        else (lambda i: h60(F.col("s"), i))
+    )
+    aggs = [F.min(mk(i)).alias(f"h{i}") for i in range(num_hashes)]
     return (
         e.groupBy("id")
         .agg(*aggs)
@@ -104,6 +131,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 5,
+    hash: str = "xx",
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) that collide in ≥1 LSH band.
 
@@ -112,7 +140,7 @@ def minhash_lsh_pairs(
     is an equi-join on (band_id, band_signature): shuffle is on the
     banded key, so hot shingles don't concentrate on one reducer."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, hash)
     banded = sigs.select(
         "id",
         F.explode(
@@ -191,14 +219,22 @@ def ngram_jaccard_index_pairs(
     2. index only the first ``n - ceil(t*n) + 1`` shingles per doc: any
        pair with J ≥ t MUST share an indexed shingle (if none is shared,
        |A∩B| ≤ ceil(t|A|)-1 < t|A| ≤ t|A∪B| — contradiction);
-    3. equi-join on indexed shingles for candidates, then verify exactly
-       with array_intersect over the full shingle sets (JVM-side).
+    3. equi-join on indexed shingles for candidates (with the PPJoin
+       length filter ``min(|A|,|B|) ≥ t·max(|A|,|B|)`` folded into the
+       join condition), then verify exactly with array_intersect over
+       the full shingle sets (JVM-side).
 
-    This removes the hot-shingle join blowup that makes the naive
-    shingle self-join quadratic on common 5-grams (measured 541 s →
-    seconds on 5k docs): frequent shingles sort last and land in almost
-    no prefix. Output is exact — identical to the naive algorithm — so
-    the DuckDB oracle runs the naive SQL.
+    **Regime honesty** (measured on the sf0.1 bench corpus, 5k docs,
+    204 avg distinct shingles, only 2,041 distinct shingles in total):
+    prefix filtering prunes hard only at HIGH thresholds on corpora with
+    a realistic (large, Zipfian) shingle vocabulary, where the prefix is
+    short and rare-shingle-only. At ``t=0.5`` the prefix is ~half of
+    each doc's shingles, and on a tiny-vocabulary/templated corpus even
+    the "rare" shingles occur in hundreds of documents — the candidate
+    join degenerates toward all-pairs and this operator takes minutes at
+    sf0.1. For that regime use :func:`ngram_jaccard_bitmap_pairs`
+    (exact, bounded-vocabulary) or :func:`ngram_jaccard_pairs`
+    (LSH-candidates, bounded work at any scale).
 
     Skew discipline: the candidate join's key space is the prefix
     shingles — on templated corpora those are still few and hot, and a
@@ -206,28 +242,24 @@ def ngram_jaccard_index_pairs(
     default) the prefix table and the shingle-set table broadcast, so
     pair generation and verification are map-side hash joins with NO
     key-skewed shuffle; the only shuffle left is the distinct over
-    candidate pairs (uniform by construction). Flip it off for corpora
-    whose prefix table exceeds executor memory — with a realistic
-    Zipfian vocabulary the prefix index is rare-shingle-only, so the
-    shuffled join is skew-free there anyway.
+    candidate pairs. Flip it off for corpora whose prefix table exceeds
+    executor memory.
 
     Representation discipline: shingles are interned to 64-bit ids
     (``xxhash64`` — dictionary-free, collision odds negligible) the
     moment they exist, so the window sort, the candidate join and the
     per-pair verification all run on longs, not short strings; the
     verification computes |A∪B| as ``n_a + n_b − |A∩B|`` from counts
-    rather than materializing ``array_union``. Together ~10x less
-    per-row CPU than the string-array formulation.
+    rather than materializing ``array_union``.
 
-    The shared intermediates (shingle table, prefix index, set table)
-    are eagerly materialized (``localCheckpoint``): each feeds both a
-    stream side and one or more broadcast-exchange builds, and broadcast
-    builds execute their subtree independently and concurrently —
+    The shared intermediates (prefix index, set table) are eagerly
+    materialized (``localCheckpoint``): each feeds both a stream side
+    and one or more broadcast-exchange builds, and broadcast builds
+    execute their subtree independently and concurrently —
     unmaterialized, the shingle pipeline re-runs per exchange and the
-    racing builds interact badly with AQE (measured 600 s vs ~20 s on 5k
-    docs). Checkpointing the two small tables (prefix index, set table)
-    costs two bounded actions and makes every downstream read a block
-    fetch."""
+    racing builds interact badly with AQE. The shingle table itself is
+    persisted only while those two checkpoints materialize, then
+    unpersisted (its only consumers)."""
     sh = (
         _exploded_shingles(df, id_col, text_col, shingle_k)
         .select("id", F.xxhash64("s").alias("s"))
@@ -242,11 +274,15 @@ def ngram_jaccard_index_pairs(
         ),
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    # ceil guarded against upward FP error (e.g. 0.07*100 → 7.000000000000001):
+    # err toward a LONGER prefix (safe) rather than a shorter one.
+    prefix_len = (
+        F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
+    )
     prefix = (
         ranked.join(sizes, "id")
         .where(F.col("rn") <= prefix_len)
-        .select("id", "s")
+        .select("id", "s", "n")
         .localCheckpoint(eager=True)
     )
     sets = (
@@ -254,12 +290,19 @@ def ngram_jaccard_index_pairs(
         .agg(F.sort_array(F.collect_set("s")).alias("sh"))
         .localCheckpoint(eager=True)
     )
+    sh.unpersist()
     b = lambda d: F.broadcast(d) if small_side_broadcast else d  # noqa: E731
+    # PPJoin length filter in the join condition: J ≥ t needs
+    # min(|A|,|B|) ≥ t·max(|A|,|B|); the 1e-9 slack keeps FP products
+    # from excluding exact-boundary pairs.
     cand = (
         prefix.alias("a")
         .join(
             b(prefix).alias("b"),
-            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.n") >= F.lit(threshold) * F.col("b.n") - F.lit(1e-9))
+            & (F.col("b.n") >= F.lit(threshold) * F.col("a.n") - F.lit(1e-9)),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
@@ -281,14 +324,119 @@ def ngram_jaccard_index_pairs(
     ).where(F.col("jaccard") >= threshold)
 
 
-def simhash64_df(
-    df: DataFrame, id_col: str, text_col: str = "text", shingle_k: int = 4
+def ngram_jaccard_bitmap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    max_vocab: int = 1 << 16,
 ) -> DataFrame:
-    """(id, sh: long) — 64-bit SimHash per id: per shingle take xxhash64,
-    per bit position sum (+1/-1) votes via 64 hash aggregates over the
-    shingle table, then sign-pack into one long."""
+    """Exact all-pairs n-gram Jaccard for **bounded-vocabulary** corpora
+    (small alphabets, templated text, short k-grams): intern the distinct
+    shingles to dense bit positions, represent each document's shingle
+    set as a ``ceil(V/64)``-word bitmap, and verify pairs with AND +
+    popcount — O(V/64) per pair instead of an O(|A|+|B|) array
+    intersection, with no exploded shingle-pair blowup at all.
+
+    Why this regime needs its own operator: at low thresholds on
+    templated corpora both the naive inverted-index join (pair
+    multiplicity = Σ df² ≈ 769M on the 5k-doc sf0.1 bench corpus) and
+    the AllPairs prefix filter (prefix ≈ half of each doc at t=0.5, and
+    every shingle is common) blow up — while V is tiny (2,041), so a
+    bitmap verify of ALL length-eligible pairs is orders of magnitude
+    cheaper. Exact — same output as the naive algorithm.
+
+    Plan shape: the bitmap table (one row per doc: id, |set|, V/64
+    longs) broadcasts; pair enumeration is a broadcast nested-loop join
+    whose condition carries only the cheap guards (id_a < id_b and the
+    PPJoin length filter min ≥ t·max); the popcount verify runs on the
+    survivors. One shuffle total (the groupBy building bitmaps).
+
+    Scale honesty: all-pairs enumeration is O(n²) in document count —
+    right when n is modest after upstream exact-dedup/blocking, or per
+    LSH/band bucket. ``max_vocab`` (default 65,536 bits = 8 KB/doc)
+    guards the regime: a corpus whose distinct-shingle count exceeds it
+    raises, pointing at the prefix/LSH operators instead. At cluster
+    scale the same bitmap verify composes with any candidate generator
+    (swap the nested-loop for an equi-join on block keys)."""
+    sh = _exploded_shingles(df, id_col, text_col, shingle_k).distinct()
+    vocab = (
+        sh.select("s")
+        .distinct()
+        .withColumn("idx", F.row_number().over(Window.orderBy("s")) - 1)
+        .localCheckpoint(eager=True)
+    )
+    v = vocab.count()
+    if v > max_vocab:
+        raise ValueError(
+            f"distinct shingle vocabulary {v} exceeds max_vocab={max_vocab}; "
+            "use ngram_jaccard_index_pairs (high threshold) or "
+            "ngram_jaccard_pairs (LSH candidates) for large vocabularies"
+        )
+    words = (v + 63) // 64
+    # One PLAIN LONG COLUMN per bitmap word (not an array): the per-pair
+    # verify then compiles to primitive and/popcount/add expressions —
+    # array-lambda forms (zip_with + aggregate) are interpreted per pair
+    # inside the nested-loop join and measured ~10x slower at sf0.1.
+    # The word build folds each dense index into its word via a SQL
+    # lambda (the Python DSL's shiftleft only takes a literal shift).
+    word_col = lambda w: F.expr(  # noqa: E731
+        f"aggregate(filter(idxs, i -> CAST(i / 64 AS INT) = {w}), "
+        "CAST(0 AS BIGINT), "
+        "(acc, i) -> acc | shiftleft(CAST(1 AS BIGINT), CAST(i % 64 AS INT)))"
+    )
+    bm = (
+        sh.join(F.broadcast(vocab), "s")
+        .groupBy("id")
+        .agg(F.collect_list("idx").alias("idxs"))
+        .select(
+            "id",
+            F.size("idxs").alias("n"),
+            *[word_col(w).alias(f"w{w}") for w in range(words)],
+        )
+        .localCheckpoint(eager=True)
+    )
+    a, b = bm.alias("a"), F.broadcast(bm).alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.id") < F.col("b.id"))
+        & (F.col("a.n") >= F.lit(threshold) * F.col("b.n") - F.lit(1e-9))
+        & (F.col("b.n") >= F.lit(threshold) * F.col("a.n") - F.lit(1e-9)),
+    )
+    inter_terms = [
+        F.bit_count(F.col(f"a.w{w}").bitwiseAND(F.col(f"b.w{w}")))
+        for w in range(words)
+    ]
+    inter = sum(inter_terms[1:], inter_terms[0]).cast("double")
+    union = (F.col("a.n") + F.col("b.n")).cast("double") - inter
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (inter / union).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_k: int = 4,
+    hash: str = "xx",
+) -> DataFrame:
+    """(id, sh: long) — SimHash per id: per shingle occurrence take a
+    hash, per bit position sum (+1/-1) votes via one hash aggregate over
+    the shingle table, then sign-pack into one long.
+
+    ``hash='xx'`` → 64-bit xxhash64 (fast JVM path); ``hash='md5'`` →
+    the 60-bit cross-engine :func:`h60` (DuckDB-oracle-checkable; bits
+    60-63 are always 0)."""
+    nbits = simhash_bits(hash)
     e = _exploded_shingles(df, id_col, text_col, shingle_k).withColumn(
-        "h", F.xxhash64("s")
+        "h", F.xxhash64("s") if hash == "xx" else h60(F.col("s"), 0)
     )
     aggs = [
         F.sum(
@@ -296,11 +444,11 @@ def simhash64_df(
                 -1
             )
         ).alias(f"v{b}")
-        for b in range(64)
+        for b in range(nbits)
     ]
     votes = e.groupBy("id").agg(*aggs)
     out = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(nbits):
         bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -308,19 +456,41 @@ def simhash64_df(
     return votes.select("id", out.alias("sh"))
 
 
+def simhash_bits(hash: str) -> int:
+    if hash not in ("xx", "md5"):
+        raise ValueError(hash)
+    return 64 if hash == "xx" else 60
+
+
+def simhash_chunk_bounds(nbits: int, chunks: int) -> list[tuple[int, int]]:
+    """(shift, width) per chunk: ``chunks`` contiguous blocks covering all
+    ``nbits`` bits, the last block absorbing the remainder."""
+    width = nbits // chunks
+    bounds = [(c * width, width) for c in range(chunks - 1)]
+    bounds.append(((chunks - 1) * width, nbits - (chunks - 1) * width))
+    return bounds
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
     max_hamming: int = 3,
-    chunks: int = 4,
+    chunks: int | None = None,
+    hash: str = "xx",
 ) -> DataFrame:
-    """Near-dup pairs within a Hamming radius: band the 64-bit simhash
-    into ``chunks`` 16-bit blocks; by pigeonhole, any pair within
+    """Near-dup pairs within a Hamming radius: band the simhash into
+    ``chunks`` contiguous blocks; by pigeonhole, any pair within
     ``chunks - 1`` bit flips collides on ≥1 block. Exact Hamming check
-    reranks candidates."""
-    sim = simhash64_df(df, id_col, text_col)
-    width = 64 // chunks
+    reranks candidates.
+
+    Recall guarantee: complete only when ``max_hamming <= chunks - 1``,
+    so ``chunks`` defaults to ``max_hamming + 1``. Passing fewer chunks
+    trades recall above ``chunks - 1`` flips for fewer candidates."""
+    nbits = simhash_bits(hash)
+    if chunks is None:
+        chunks = max_hamming + 1
+    sim = simhash64_df(df, id_col, text_col, hash=hash)
     banded = sim.select(
         "id",
         "sh",
@@ -329,11 +499,13 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(cidx).alias("chunk"),
-                        F.shiftright(F.col("sh"), cidx * width)
+                        F.shiftright(F.col("sh"), shift)
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("key"),
                     )
-                    for cidx in range(chunks)
+                    for cidx, (shift, width) in enumerate(
+                        simhash_chunk_bounds(nbits, chunks)
+                    )
                 ]
             )
         ).alias("ck"),

@@ -18,6 +18,8 @@ memory-bounded regardless of skew in asset sizes.
 from __future__ import annotations
 
 import hashlib
+import os
+import urllib.parse
 from collections.abc import Iterator
 
 import numpy as np
@@ -108,12 +110,50 @@ def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     return arr / np.float32(2**32)
 
 
-def size_bucketed(df: DataFrame, target_bucket_bytes: int = 64 << 20) -> DataFrame:
+def _input_bytes_from_metadata(df: DataFrame) -> int | None:
+    """Total input size from FILE METADATA only (no data scan): the scan
+    relation's file listing. None for non-file-backed plans (synthesized
+    tables, in-memory)."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # pragma: no cover - defensive
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        p = urllib.parse.urlparse(f)
+        if p.scheme not in ("", "file"):
+            # remote FS: listing sizes needs the Hadoop FS client; callers
+            # on object stores pass total_bytes explicitly
+            return None
+        try:
+            total += os.path.getsize(p.path or f)
+        except OSError:
+            return None
+    return total
+
+
+def size_bucketed(
+    df: DataFrame,
+    target_bucket_bytes: int = 64 << 20,
+    total_bytes: int | None = None,
+) -> DataFrame:
     """Repartition so each partition holds ~target bytes of payload —
-    bounds Arrow batch memory under size skew."""
+    bounds Arrow batch memory under size skew.
+
+    Partition count comes from *metadata*, never from a data pass: an
+    explicit ``total_bytes`` (callers that know their input size — e.g.
+    a manifest), else the scan's file-size metadata, else the session's
+    default parallelism. (Round 1 ran a full ``sum(length(payload))``
+    pre-scan here — at 100 TB that doubles IO and is a hard job
+    barrier.)"""
     spark = df.sparkSession
-    total = df.agg(F.sum(F.length("payload"))).collect()[0][0] or 0
-    n = max(2, int(total / target_bucket_bytes) + 1, spark.sparkContext.defaultParallelism)
+    if total_bytes is None:
+        total_bytes = _input_bytes_from_metadata(df)
+    n = spark.sparkContext.defaultParallelism
+    if total_bytes:
+        n = max(n, int(total_bytes / target_bucket_bytes) + 1)
     return df.repartition(n, F.pmod(F.xxhash64("media_id"), F.lit(n * 4)))
 
 

@@ -39,6 +39,39 @@ def normalize(rows, cols):
     return sorted(tuple(str(r[i]) for i in order) for r in rows)
 
 
+#: spark dtype → compatible DuckDB result types. The driver hashes TYPED
+#: values, so e.g. a DuckDB HUGEINT (int128, what a bare sum(BIGINT)
+#: returns) against a Spark bigint hash-mismatches even when the values
+#: are equal — that cost 4 green queries in round 1. Stringified row
+#: compares can't see it; this map can.
+#: int-width differences up to 64 bits hashed equal in round 1 (rank int
+#: vs BIGINT passed); only the 128-bit HUGEINT mismatched.
+_TYPE_COMPAT = {
+    "bigint": {"BIGINT", "INTEGER"},
+    "int": {"INTEGER", "BIGINT"},
+    "double": {"DOUBLE"},
+    "float": {"FLOAT"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "timestamp": {"TIMESTAMP", "TIMESTAMP_NS", "TIMESTAMP WITH TIME ZONE"},
+    "timestamp_ntz": {"TIMESTAMP", "TIMESTAMP_NS"},
+    "date": {"DATE"},
+}
+
+
+def assert_types_compatible(sdf, rel):
+    spark_types = dict(zip(sdf.columns, [f.dataType.simpleString() for f in sdf.schema.fields]))
+    duck_types = dict(zip(rel.columns, [str(t) for t in rel.types]))
+    for col, st in spark_types.items():
+        dt = duck_types[col]
+        allowed = _TYPE_COMPAT.get(st)
+        if allowed is not None:
+            assert dt in allowed, (
+                f"column {col!r}: spark {st} vs duckdb {dt} — the driver's "
+                "typed value hash will mismatch (cast the oracle expression)"
+            )
+
+
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
 def test_query_matches_oracle(spark, con, name):
     q = entrymod.queries()[name]
@@ -54,6 +87,7 @@ def test_query_matches_oracle(spark, con, name):
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
     rel = con.sql(sql)
+    assert_types_compatible(sdf, rel)
     drows = rel.fetchall()
     dcols = [d[0] for d in rel.description]
     assert sorted(scols) == sorted(dcols), (scols, dcols)

@@ -145,6 +145,113 @@ def test_ngram_jaccard_index_pairs_vs_python(spark, docs_df):
         assert got[k_] == pytest.approx(want[k_], abs=1e-12)
 
 
+def test_ngram_jaccard_bitmap_vs_python(spark, docs_df):
+    """The bitmap-verification path is exact: same pairs/values as the
+    naive set algebra (and hence as ngram_jaccard_index_pairs)."""
+    from ontograph_spark.functions.dedup import ngram_jaccard_bitmap_pairs
+
+    def sh(t, k=5):
+        norm = re.sub(r"\s+", " ", t.strip()).lower()
+        n = max(len(norm) - (k - 1), 1)
+        return {norm[i : i + k] for i in range(n)}
+
+    sets = {i: sh(t) for i, t in DOCS}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] & sets[b]:
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if j >= 0.5:
+                    want[(a, b)] = j
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_bitmap_pairs(docs_df, "doc_id", threshold=0.5).collect()
+    }
+    assert got.keys() == want.keys()
+    for k_ in got:
+        assert got[k_] == pytest.approx(want[k_], abs=1e-12)
+
+
+def test_ngram_jaccard_bitmap_vocab_guard(spark, docs_df):
+    from ontograph_spark.functions.dedup import ngram_jaccard_bitmap_pairs
+
+    with pytest.raises(ValueError, match="max_vocab"):
+        ngram_jaccard_bitmap_pairs(docs_df, "doc_id", max_vocab=4)
+
+
+def _h60_py(s: str, seed: int) -> int:
+    return int(hashlib.md5(f"{s}:{seed}".encode()).hexdigest()[:15], 16)
+
+
+def test_h60_matches_python(spark):
+    from ontograph_spark.functions.dedup import h60
+
+    df = spark.createDataFrame([("abc",), ("ünïcode",), ("",)], ["s"])
+    rows = df.select("s", h60(F.col("s"), 7).alias("h")).collect()
+    for r in rows:
+        if r["s"]:
+            assert r["h"] == _h60_py(r["s"], 7)
+    # empty string: concat_ws keeps it, same key as python
+    empty = [r for r in rows if r["s"] == ""][0]
+    assert empty["h"] == _h60_py("", 7)
+
+
+def test_minhash_md5_matches_python(spark, docs_df):
+    """Cross-engine md5 minhash: Spark signatures equal the pure-Python
+    recomputation shingle-for-shingle (the DuckDB oracle in
+    __spark_entry__ recomputes the same construction in SQL)."""
+    from ontograph_spark.functions.dedup import minhash_signatures
+
+    def sh_all(t, k=5):
+        norm = re.sub(r"\s+", " ", t.strip()).lower()
+        n = max(len(norm) - (k - 1), 1)
+        return [norm[i : i + k] for i in range(n)]
+
+    got = {
+        r["id"]: r["sig"]
+        for r in minhash_signatures(
+            docs_df, "doc_id", num_hashes=4, hash="md5"
+        ).collect()
+    }
+    for i, t in DOCS:
+        want = [min(_h60_py(s, seed) for s in sh_all(t)) for seed in range(4)]
+        assert got[i] == want, i
+
+
+def test_simhash_md5_matches_python(spark, docs_df):
+    from ontograph_spark.functions.dedup import simhash64_df
+
+    def sh_all(t, k=4):
+        norm = re.sub(r"\s+", " ", t.strip()).lower()
+        n = max(len(norm) - (k - 1), 1)
+        return [norm[i : i + k] for i in range(n)]
+
+    got = {r["id"]: r["sh"] for r in simhash64_df(docs_df, "doc_id", hash="md5").collect()}
+    for i, t in DOCS:
+        votes = [0] * 60
+        for s in sh_all(t):
+            h = _h60_py(s, 0)
+            for b in range(60):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        want = sum(1 << b for b in range(60) if votes[b] > 0)
+        assert got[i] == want, i
+
+
+def test_simhash_chunk_bounds():
+    from ontograph_spark.functions.dedup import simhash_chunk_bounds
+
+    for nbits in (60, 64):
+        for chunks in (2, 4, 7):
+            bounds = simhash_chunk_bounds(nbits, chunks)
+            assert len(bounds) == chunks
+            assert sum(w for _, w in bounds) == nbits
+            # contiguous, non-overlapping
+            pos = 0
+            for shift, width in bounds:
+                assert shift == pos
+                pos += width
+
+
 def test_simhash_near_pairs(spark, docs_df):
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]

@@ -108,6 +108,40 @@ def test_salted_write_splits_hot_predicate(spark):
     assert parts >= 4  # same subject, hot predicate → several partitions
 
 
+def test_multimodal_plan_runs_no_driver_action(spark, monkeypatch):
+    """Building the extract_features plan must not run a job (round 1 ran
+    a full payload pre-scan in size_bucketed — doubled IO at scale)."""
+    from pyspark.sql import DataFrame
+
+    from ontograph_spark.functions.multimodal import (
+        extract_features,
+        synthesize_media_table,
+    )
+
+    def boom(*a, **k):  # pragma: no cover - only fires on regression
+        raise AssertionError("driver action during plan construction")
+
+    media = synthesize_media_table(spark, 10, partitions=2)
+    for action in ("collect", "count", "take", "head", "toLocalIterator"):
+        monkeypatch.setattr(DataFrame, action, boom)
+    extract_features(media, dim=8)  # plan construction only — no action
+
+
+def test_size_bucketed_uses_file_metadata(spark, tmp_path):
+    from ontograph_spark.functions.multimodal import _input_bytes_from_metadata
+
+    df = spark.range(1000).select(
+        F.col("id").alias("media_id"), F.sha2(F.col("id").cast("string"), 256).alias("payload")
+    )
+    path = str(tmp_path / "m")
+    df.write.parquet(path)
+    back = spark.read.parquet(path)
+    got = _input_bytes_from_metadata(back)
+    assert got is not None and got > 0
+    # non-file-backed plan → None (falls back to default parallelism)
+    assert _input_bytes_from_metadata(df) is None
+
+
 def test_ntriples_round_trip(spark, tmp_path, pstore):
     path = str(tmp_path / "nt")
     write_ntriples(pstore.df(), path)
