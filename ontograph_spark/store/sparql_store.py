@@ -16,6 +16,8 @@ stores — bulk data does not round-trip through a SPARQL endpoint.
 from __future__ import annotations
 
 import json
+import re
+import urllib.error
 import urllib.parse
 import urllib.request
 
@@ -218,3 +220,128 @@ class SparqlQuadStore:
     def drop(self) -> None:
         self._execute_update(f"DROP GRAPH <{self._uri}>")
         self._uri = ""
+
+    def serialize_to_turtle(self, writer, pretty: bool = False) -> None:
+        """Turtle export for the remote backend (the reference's
+        CONSTRUCT-based SerializeToTurtle, blazegraph_store.go:327-393):
+        the triples come back over SPARQL and the shared formatter
+        produces the same plain/pretty shapes as the quad-table stores —
+        prefix map from the graph URI + ``owl:imports``, CURIE rewrite,
+        ``@prefix``/``@base`` block."""
+        from ontograph_spark.store.turtle import serialize_to_turtle
+
+        serialize_to_turtle(self, writer, pretty)
+
+
+class SparqlEndpoint:
+    """Endpoint-level admin surface (the reference's BlazegraphEndpoint,
+    blazegraph_endpoint.go:39-244): status probe, namespace lifecycle,
+    graph listing, store construction. URL scheme follows Blazegraph's
+    REST API (``/bigdata/status``, ``/bigdata/namespace[/<id>]``,
+    ``/bigdata/namespace/<id>/sparql``). Pure-stdlib HTTP; the transport
+    is a single overridable method so tests (and other endpoint flavors)
+    can swap it."""
+
+    def __init__(self, host: str) -> None:
+        self.host = host.rstrip("/")
+
+    # -- transport (overridable in tests) ---------------------------------
+
+    def _http(
+        self,
+        method: str,
+        url: str,
+        body: bytes | None = None,
+        headers: dict | None = None,
+    ) -> tuple[int, bytes]:
+        req = urllib.request.Request(
+            url, data=body, headers=headers or {}, method=method
+        )
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, resp.read()
+        except urllib.error.HTTPError as e:  # non-2xx still carries a code
+            return e.code, e.read()
+
+    # -- store construction (blazegraph_endpoint.go:28-36) ----------------
+
+    def sparql_url(self, namespace: str) -> str:
+        return f"{self.host}/bigdata/namespace/{urllib.parse.quote(namespace)}/sparql"
+
+    def store(self, uri: str, namespace: str) -> SparqlQuadStore:
+        """NewBlazegraphStore: no existence or liveness checks — same as
+        the reference constructor."""
+        return SparqlQuadStore(uri, self.sparql_url(namespace))
+
+    # -- admin operators (blazegraph_endpoint.go:39-175) ------------------
+
+    def is_online(self) -> bool:
+        code, _ = self._http("GET", f"{self.host}/bigdata/status")
+        if code != 200:
+            raise RuntimeError(f"Unexpected status response: {code} (Expected 200)")
+        return True
+
+    def get_namespaces(self) -> list[str]:
+        code, data = self._http(
+            "GET", f"{self.host}/bigdata/namespace?describe-each-named-graph=false"
+        )
+        if code != 200:
+            raise RuntimeError(f"Failed to query namespaces (HTTP {code})")
+        return re.findall(r"/bigdata/namespace/(.+?)/sparql", data.decode())
+
+    def create_namespace(self, namespace_id: str) -> None:
+        """Create a quads namespace (HTTP 201 expected). The properties
+        payload mirrors the reference's minimal quads configuration
+        (blazegraph_endpoint.go:87-100)."""
+        payload = (
+            f"com.bigdata.rdf.sail.namespace={namespace_id}\n"
+            "com.bigdata.rdf.store.AbstractTripleStore.quads=true\n"
+            "com.bigdata.rdf.store.AbstractTripleStore.textIndex=false\n"
+            "com.bigdata.rdf.store.AbstractTripleStore.axiomsClass="
+            "com.bigdata.rdf.axioms.NoAxioms\n"
+        ).encode()
+        code, _ = self._http(
+            "POST",
+            f"{self.host}/bigdata/namespace",
+            body=payload,
+            headers={"Content-Type": "text/plain"},
+        )
+        if code != 201:
+            raise RuntimeError(
+                f"Failed to create namespace '{namespace_id}' (HTTP {code})"
+            )
+
+    def drop_namespace(self, namespace_id: str) -> None:
+        """Idempotent like the reference: missing namespace is not an
+        error there either (blazegraph_endpoint.go:119-139 returns the
+        endpoint's 200 regardless; non-200 raises)."""
+        code, _ = self._http(
+            "DELETE",
+            f"{self.host}/bigdata/namespace/{urllib.parse.quote(namespace_id)}",
+        )
+        if code != 200:
+            raise RuntimeError(
+                f"Failed to delete namespace '{namespace_id}' (HTTP {code})"
+            )
+
+    def namespace_exists(self, namespace_id: str) -> bool:
+        return namespace_id in self.get_namespaces()
+
+    def get_graphs(self, namespace: str) -> list[str]:
+        """Distinct graph URIs in a namespace (blazegraph_endpoint.go:
+        158-175) via ``SELECT DISTINCT ?g``."""
+        sparql = "SELECT DISTINCT ?g WHERE { GRAPH ?g { ?s ?p ?o } }"
+        data = urllib.parse.urlencode({"query": sparql}).encode()
+        code, body = self._http(
+            "POST",
+            self.sparql_url(namespace),
+            body=data,
+            headers={
+                "Content-Type": "application/x-www-form-urlencoded",
+                "Accept": "application/sparql-results+json",
+            },
+        )
+        if code != 200:
+            raise RuntimeError(f"Unexpected response retrieving graphs (HTTP {code})")
+        res = json.loads(body.decode())
+        return [b["g"]["value"] for b in res.get("results", {}).get("bindings", [])]

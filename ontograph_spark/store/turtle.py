@@ -22,7 +22,7 @@ import re
 from typing import TextIO
 
 from ontograph_spark import vocab
-from ontograph_spark.terms import mk_literal, mk_resource, term_value
+from ontograph_spark.terms import mk_resource, term_value
 
 
 def serialize_to_turtle(store, writer: TextIO, pretty: bool = False) -> None:
@@ -61,7 +61,7 @@ def serialize_to_turtle(store, writer: TextIO, pretty: bool = False) -> None:
 _TOKEN_RE = re.compile(
     r"""
       (?P<iri><[^>]*>)
-    | (?P<literal>"[^"]*"(?:@[A-Za-z0-9-]+)?(?:\^\^<[^>]*>|\^\^[A-Za-z_][\w.-]*:[\w.-]+)?)
+    | (?P<literal>"[^"]*"(?:@[A-Za-z0-9-]+)?(?:\^\^<[^>]*>|\^\^(?:[A-Za-z_][\w.-]*)?:[\w.-]+)?)
     | (?P<punct>[;,.])
     | (?P<a>\ba\b)
     | (?P<pname>[A-Za-z_][\w.-]*:[\w.-]*|:[\w.-]+)
@@ -147,8 +147,3 @@ def parse_turtle(text: str) -> tuple[str, list[tuple[str, str, str]]]:
     if base is None:
         base = term_value(triples[0][0])
     return base, triples
-
-
-def parse_literal_datatype_normalization_example() -> str:  # pragma: no cover
-    """Doc helper referenced by tests; see tests/test_turtle.py."""
-    return mk_literal("x", "", "http://example.org#dt")

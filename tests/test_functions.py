@@ -196,6 +196,12 @@ def test_h60_matches_python(spark):
     assert empty["h"] == _h60_py("", 7)
 
 
+def _h60_family_py(s: str, num_hashes: int) -> list[int]:
+    m = hashlib.md5(s.encode()).hexdigest()
+    a, b = int(m[:15], 16), int(m[16:30], 16)
+    return [(a + i * b) & ((1 << 60) - 1) for i in range(num_hashes)]
+
+
 def test_minhash_md5_matches_python(spark, docs_df):
     """Cross-engine md5 minhash: Spark signatures equal the pure-Python
     recomputation shingle-for-shingle (the DuckDB oracle in
@@ -214,7 +220,8 @@ def test_minhash_md5_matches_python(spark, docs_df):
         ).collect()
     }
     for i, t in DOCS:
-        want = [min(_h60_py(s, seed) for s in sh_all(t)) for seed in range(4)]
+        per_sh = [_h60_family_py(s, 4) for s in sh_all(t)]
+        want = [min(h[seed] for h in per_sh) for seed in range(4)]
         assert got[i] == want, i
 
 

@@ -5,6 +5,11 @@ Transcribed from the reference ontology suite
 upsert incl. overwrite, version, imports, per-resource-kind upsert+get
 round-trips incl. namespace rejection, and the GetIndividuals filter matrix
 (none / single class / AND / OR / object-prop / data-prop / mixed chain).
+
+The whole matrix is parametrized over BOTH backends — the quad-table
+MemoryQuadStore (DataFrame plans) and the SPARQL store over the in-memory
+fake endpoint (driver-side plans) — mirroring the reference, which runs
+ontology_graph_test.go against the memory store AND live Blazegraph.
 """
 
 from __future__ import annotations
@@ -32,13 +37,23 @@ from ontograph_spark.store import MemoryQuadStore
 URI = "https://www.ontograph.com/test-ont"
 
 
+@pytest.fixture(params=["memory", "sparql"])
+def make_store(request, spark):
+    """Factory for a fresh store of the parametrized backend."""
+    if request.param == "memory":
+        return lambda: MemoryQuadStore(spark, URI)
+    from sparql_fake import FakeSparqlStore
+
+    return lambda: FakeSparqlStore(URI)
+
+
 @pytest.fixture()
-def ont(spark):
-    return OntologyGraph.init(MemoryQuadStore(spark, URI))
+def ont(make_store):
+    return OntologyGraph.init(make_store())
 
 
-def test_init_and_load(spark):
-    store = MemoryQuadStore(spark, URI)
+def test_init_and_load(make_store):
+    store = make_store()
     ont = OntologyGraph.init(store)
     assert ont.get_uri() == URI
     with pytest.raises(OntologyAlreadyExistsError):
@@ -47,9 +62,9 @@ def test_init_and_load(spark):
     assert loaded.get_uri() == URI
 
 
-def test_load_missing(spark):
+def test_load_missing(make_store):
     with pytest.raises(OntologyNotFoundError):
-        OntologyGraph.load(MemoryQuadStore(spark, URI))
+        OntologyGraph.load(make_store())
 
 
 def test_labels_and_comments_upsert(ont):

@@ -109,3 +109,72 @@ def test_drop_and_size():
     s.drop()
     assert s.get_uri() == ""
     assert s.updates[-1] == f"DROP GRAPH <{URI}>"
+
+
+def test_sparql_store_turtle_round_trip():
+    """blazegraph_store.go:327-393 parity: the remote backend serializes
+    to the same Turtle shapes as the quad-table stores and round-trips
+    through the parser."""
+    import io
+
+    from ontograph_spark.store.turtle import parse_turtle
+    from sparql_fake import FakeSparqlStore
+
+    s = FakeSparqlStore(URI)
+    s.add_triples_unchecked(
+        [T1, Triple(f"<{URI}#b>", f"<{URI}#rel>", '"4"^^<http://x#int>')]
+    )
+    buf = io.StringIO()
+    s.serialize_to_turtle(buf, pretty=False)
+    _, parsed = parse_turtle(buf.getvalue())
+    assert {tuple(t) for t in parsed} == {t.as_tuple() for t in s.get_all_triples()}
+    pretty = io.StringIO()
+    s.serialize_to_turtle(pretty, pretty=True)
+    assert f"@base <{URI}> ." in pretty.getvalue()
+    assert "@prefix rdf:" in pretty.getvalue()
+
+
+def test_endpoint_admin_lifecycle():
+    """blazegraph_endpoint.go:39-175 parity over the fake REST endpoint:
+    status, namespace create/list/exists/drop, graph listing."""
+    from sparql_fake import FakeSparqlEndpoint
+
+    ep = FakeSparqlEndpoint()
+    assert ep.is_online() is True
+    assert ep.get_namespaces() == []
+    ep.create_namespace("kb")
+    assert ep.get_namespaces() == ["kb"]
+    assert ep.namespace_exists("kb") is True
+    assert ep.namespace_exists("nope") is False
+    with pytest.raises(RuntimeError, match="create"):
+        ep.create_namespace("kb")  # HTTP 409 → error
+    # stores scoped to the namespace populate graphs the endpoint can list
+    from sparql_fake import FakeSparqlStore
+
+    s = FakeSparqlStore(URI, ep.namespaces["kb"])
+    s.add_triple_unchecked(T1)
+    assert ep.get_graphs("kb") == [URI]
+    ep.drop_namespace("kb")
+    assert ep.namespace_exists("kb") is False
+    ep.drop_namespace("kb")  # idempotent like the reference
+    with pytest.raises(RuntimeError, match="graphs"):
+        ep.get_graphs("kb")  # missing namespace → HTTP 404 → error
+
+
+def test_endpoint_offline():
+    from sparql_fake import FakeSparqlEndpoint
+
+    ep = FakeSparqlEndpoint(online=False)
+    with pytest.raises(RuntimeError, match="status"):
+        ep.is_online()
+
+
+def test_endpoint_store_constructor():
+    """NewBlazegraphStore parity: no liveness/existence checks, URL wiring
+    only (blazegraph_endpoint.go:28-36)."""
+    from ontograph_spark.store.sparql_store import SparqlEndpoint
+
+    ep = SparqlEndpoint("http://db.example:9999/")
+    s = ep.store(URI, "my ns")
+    assert s.get_uri() == URI
+    assert s.query_url == "http://db.example:9999/bigdata/namespace/my%20ns/sparql"

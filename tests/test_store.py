@@ -210,6 +210,36 @@ def test_turtle_pretty_has_prefixes(store):
     assert ":rel-1" in text
 
 
+def test_from_turtle_round_trip(spark, store):
+    """memory_store_test.go:363-394 — the loaded store matches the test
+    triples exactly, for both plain and pretty serialization."""
+    for pretty in (False, True):
+        buf = io.StringIO()
+        store.serialize_to_turtle(buf, pretty=pretty)
+        loaded = MemoryQuadStore.from_turtle(spark, buf.getvalue())
+        assert as_set(loaded.get_all_triples()) == as_set(TRIPLES), pretty
+        assert loaded.size() == len(TRIPLES)
+
+
+def test_from_turtle_base_uri_rules(spark):
+    """memory_store.go:32-60: owl:Ontology marker subject wins; else the
+    first triple's subject; empty input errors."""
+    marked = (
+        f"<{GRAPH_URI}#x> <{GRAPH_URI}#rel> <{GRAPH_URI}#y> .\n"
+        f"<https://base.example/ont> "
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+        "<http://www.w3.org/2002/07/owl#Ontology> .\n"
+    )
+    assert (
+        MemoryQuadStore.from_turtle(spark, marked).get_uri()
+        == "https://base.example/ont"
+    )
+    unmarked = f"<{GRAPH_URI}#x> <{GRAPH_URI}#rel> <{GRAPH_URI}#y> .\n"
+    assert MemoryQuadStore.from_turtle(spark, unmarked).get_uri() == f"{GRAPH_URI}#x"
+    with pytest.raises(ValueError, match="No triple found"):
+        MemoryQuadStore.from_turtle(spark, "# only a comment\n")
+
+
 def test_parquet_snapshot_history(spark, tmp_path):
     s = ParquetQuadStore(spark, GRAPH_URI, str(tmp_path / "q2"), write_partitions=2)
     s.add_triples(fixture_triples(GRAPH_URI)[:2])
