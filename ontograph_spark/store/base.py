@@ -246,6 +246,14 @@ class QuadStoreBase:
             others.unionByName(keep.select(*QUAD_COLS)).unionByName(new)
         )
 
+    def graphs(self) -> list[str]:
+        """Distinct graph URIs in the backing quad table — the quad-table
+        analogue of the endpoint's GetGraphs (blazegraph_endpoint.go:
+        158-175); one distinct over the partition column."""
+        return sorted(
+            r["graph"] for r in self._df().select("graph").distinct().collect()
+        )
+
     def drop(self) -> None:
         """Clear the store and render it unusable (memory_store.go:235-239)."""
         self._drop_backend()

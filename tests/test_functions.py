@@ -172,6 +172,26 @@ def test_ngram_jaccard_bitmap_vs_python(spark, docs_df):
         assert got[k_] == pytest.approx(want[k_], abs=1e-12)
 
 
+def test_ngram_jaccard_exact_dispatch(spark, docs_df):
+    """Both dispatch regimes return the same exact pairs."""
+    from ontograph_spark.functions.dedup import ngram_jaccard_exact_pairs
+
+    small_vocab = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_exact_pairs(docs_df, "doc_id", threshold=0.5).collect()
+    }
+    # force the prefix branch by making the vocab look "large"
+    big_vocab = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_exact_pairs(
+            docs_df, "doc_id", threshold=0.5, bitmap_max_vocab=1
+        ).collect()
+    }
+    assert small_vocab.keys() == big_vocab.keys()
+    for k_ in small_vocab:
+        assert small_vocab[k_] == pytest.approx(big_vocab[k_], abs=1e-12)
+
+
 def test_ngram_jaccard_bitmap_vocab_guard(spark, docs_df):
     from ontograph_spark.functions.dedup import ngram_jaccard_bitmap_pairs
 

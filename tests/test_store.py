@@ -210,6 +210,11 @@ def test_turtle_pretty_has_prefixes(store):
     assert ":rel-1" in text
 
 
+def test_graphs_listing(store):
+    """GetGraphs analogue (blazegraph_endpoint.go:158-175)."""
+    assert store.graphs() == [GRAPH_URI]
+
+
 def test_from_turtle_round_trip(spark, store):
     """memory_store_test.go:363-394 — the loaded store matches the test
     triples exactly, for both plain and pretty serialization."""
