@@ -40,6 +40,10 @@ def build_spark(cpus: int) -> SparkSession:
         .config("spark.sql.files.maxPartitionBytes", "2m")
         .config("spark.sql.files.openCostInBytes", "256k")
         .config("spark.sql.adaptive.advisoryPartitionSizeInMB", "8")
+        # bounded take()s (canonicalization probe) scan all partitions in
+        # ONE job instead of the 1, 4, 16... incremental limit retries —
+        # each retry is a driver barrier, pure serial time
+        .config("spark.sql.limit.initialNumPartitions", "64")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")

@@ -71,7 +71,8 @@ print(json.dumps({"wall": wall, "triples": triples}))
 """
 
 
-def run_once(cpus: int, src: str) -> tuple[float, int]:
+def run_once(cpus: int, src: str) -> tuple[float, int, float]:
+    load0 = os.getloadavg()[0]  # host background load when the run starts
     p = subprocess.run(
         [sys.executable, "-c", RUNNER, str(cpus), src],
         capture_output=True,
@@ -82,7 +83,7 @@ def run_once(cpus: int, src: str) -> tuple[float, int]:
         sys.stderr.write(p.stderr[-2000:])
         sys.exit(1)
     r = json.loads(p.stdout.strip().splitlines()[-1])
-    return r["wall"], r["triples"]
+    return r["wall"], r["triples"], round(load0, 1)
 
 
 def main() -> None:
@@ -111,13 +112,28 @@ def main() -> None:
         sys.stderr.write(gen.stderr[-2000:])
         sys.exit(1)
 
+    # accumulate across invocations: same rows + levels → prior walls merge
+    # in (more samples = better min-of-K on a noisy host)
+    out_path = f"BENCH/scaling_{n_lo}_{n_hi}.json"
     walls: dict[int, list[float]] = {n_lo: [], n_hi: []}
+    loads: dict[int, list[float]] = {n_lo: [], n_hi: []}
+    if os.path.exists(out_path):
+        try:
+            prior = json.load(open(out_path))
+            if prior.get("rows") == rows and prior.get("levels") == [n_lo, n_hi]:
+                for cpus in (n_lo, n_hi):
+                    lv = prior["results"][f"local[{cpus}]"]
+                    walls[cpus] = list(lv.get("walls_sec", []))
+                    loads[cpus] = list(lv.get("loadavg_at_start", []))
+        except Exception:
+            pass
     triples = 0
     try:
         for _ in range(pairs):
             for cpus in (n_lo, n_hi):
-                wall, triples = run_once(cpus, src)
+                wall, triples, load0 = run_once(cpus, src)
                 walls[cpus].append(round(wall, 1))
+                loads[cpus].append(load0)
     finally:
         shutil.rmtree(src, ignore_errors=True)
 
@@ -125,6 +141,7 @@ def main() -> None:
         w = walls[cpus]
         return {
             "walls_sec": w,
+            "loadavg_at_start": loads[cpus],
             "min_sec": round(min(w), 1),
             "median_sec": round(statistics.median(w), 1),
             "triples": triples,
@@ -150,7 +167,7 @@ def main() -> None:
         ),
     }
     os.makedirs("BENCH", exist_ok=True)
-    with open(f"BENCH/scaling_{n_lo}_{n_hi}.json", "w") as f:
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
 

@@ -14,13 +14,27 @@ manifests in pipeline/materialize.py. These streaming operators are the
 * :func:`hourly_event_rollup` — watermarked windowed aggregation over an
   event stream (late data tolerated up to the watermark), the streaming
   twin of the batch ``events_hourly`` query in ``__spark_entry__``.
+* :func:`stream_user_sessions` — a CUSTOM STATEFUL operator
+  (``applyInPandasWithState``): per-user sessionization whose state (last
+  event time, running session/event counts) survives micro-batch
+  boundaries — a session spanning two batches is counted once. The
+  streaming twin of the batch ``user_sessions`` lag-window query.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
 
 from ontograph_spark.pipeline.construct import DEFAULT_GRAPH, construct_kg
 from ontograph_spark.store.parquet_store import ParquetQuadStore
@@ -73,5 +87,78 @@ def hourly_event_rollup(
             "event_type",
             "n",
             "sum_value_cents",
+        )
+    )
+
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("n_sessions", LongType(), False),
+        StructField("n_events", LongType(), False),
+    ]
+)
+
+#: per-user state carried across micro-batches
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts", LongType(), True),
+        StructField("n_sessions", LongType(), True),
+        StructField("n_events", LongType(), True),
+    ]
+)
+
+
+def stream_user_sessions(
+    events_stream: DataFrame, gap_seconds: int = 1800
+) -> DataFrame:
+    """Stateful streaming sessionization via ``applyInPandasWithState``:
+    a session starts when the gap to the user's previous event exceeds
+    ``gap_seconds``. Each micro-batch emits the user's RUNNING totals
+    (update semantics — the latest row per user is the answer, and
+    ``n_events`` is monotonic so ``max`` selects it).
+
+    State discipline at scale: one tiny fixed-width row per user (last
+    event epoch + two counters), grouped by ``user_id`` so state shuffles
+    once per batch on the natural key; no per-event state growth. Events
+    WITHIN a batch are sorted by (ts, event_id) before folding — Spark
+    guarantees no cross-batch reordering of the source, which is the same
+    in-order contract a Kafka-partition-per-user deployment provides."""
+
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_ts, n_sessions, n_events = state.get
+        else:
+            last_ts, n_sessions, n_events = None, 0, 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        for ts in batch["ts"].astype("int64") // 10**9:
+            ts = int(ts)
+            if last_ts is None or ts - last_ts > gap_seconds:
+                n_sessions += 1
+            n_events += 1
+            last_ts = ts
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+            }
+        )
+
+    return (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
         )
     )

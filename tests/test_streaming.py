@@ -13,6 +13,7 @@ from ontograph_spark.store import ParquetQuadStore
 from ontograph_spark.streaming.stream_ingest import (
     hourly_event_rollup,
     stream_construct_kg,
+    stream_user_sessions,
 )
 
 GRAPH = "https://ontograph.dev/stream-kg"
@@ -49,6 +50,56 @@ def test_hourly_rollup_matches_batch(spark, tmp_path):
     want = {
         (str(r["hour"]), r["event_type"], r["n"], r["sum_value_cents"])
         for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_stateful_sessions_match_batch_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState sessionization: split the events at the
+    median timestamp into two files → two micro-batches; a session
+    spanning the boundary must be counted ONCE (state carries last_ts),
+    and final totals must equal the batch lag-window sessionization."""
+    import time as _time
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    epoch = F.col("ts").cast("timestamp").cast("double")  # NTZ → ts → secs
+    cut = ev.select(
+        F.expr("percentile_approx(CAST(CAST(ts AS TIMESTAMP) AS DOUBLE), 0.5)").alias("c")
+    ).collect()[0]["c"]
+    src = str(tmp_path / "ev_batches")
+    ev.where(epoch <= cut).coalesce(1).write.parquet(src)
+    _time.sleep(1.1)  # distinct mtimes → deterministic file-source order
+    ev.where(epoch > cut).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = (
+        stream_user_sessions(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in spark.sql(
+            # n_events is monotonic per user → max row = latest state
+            "SELECT user_id, max_by(n_sessions, n_events) AS n_sessions, "
+            "max(n_events) AS n_events FROM sessions_test GROUP BY user_id"
+        ).collect()
+    }
+
+    import __spark_entry__ as entrymod
+
+    want = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in entrymod.q_user_sessions(spark, "/root/testdata/sf0.001").collect()
     }
     assert got == want
 
