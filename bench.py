@@ -24,9 +24,20 @@ import time
 from pyspark.sql import SparkSession
 
 
-def build_spark(cpus: int) -> SparkSession:
+def build_spark(cpus: int, jvm_cpus: int | None = None) -> SparkSession:
+    """``jvm_cpus`` caps the JVM's *perceived* processor count
+    (-XX:ActiveProcessorCount): GC / JIT / netty pools size to it instead
+    of the 32 hardware threads. The scaling harness sets it to the
+    parallelism level so a local[N] run behaves like an N-core executor
+    container rather than an N-task job with 32-core JVM services."""
+    builder = SparkSession.builder.master(f"local[{cpus}]")
+    if jvm_cpus is not None:
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:ActiveProcessorCount={jvm_cpus}",
+        )
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
+        builder
         .appName("ontograph-spark-bench")
         # start wide, let AQE coalesce down — an initial value at the slot
         # count leaves heavy shuffles with one monolithic wave
