@@ -24,17 +24,44 @@ import time
 from pyspark.sql import SparkSession
 
 
-def build_spark(cpus: int, jvm_cpus: int | None = None) -> SparkSession:
+def build_spark(
+    cpus: int, jvm_cpus: int | None = None, aqe: bool = True
+) -> SparkSession:
     """``jvm_cpus`` caps the JVM's *perceived* processor count
     (-XX:ActiveProcessorCount): GC / JIT / netty pools size to it instead
     of the 32 hardware threads. The scaling harness sets it to the
     parallelism level so a local[N] run behaves like an N-core executor
-    container rather than an N-task job with 32-core JVM services."""
+    container rather than an N-task job with 32-core JVM services.
+
+    ``aqe=False`` swaps the adaptive configs for fixed ``2*cpus`` shuffle
+    partitions. AQE's driver-side re-optimization adds a measured
+    ~10-20 s of per-query stage barriers (probe: 8-cpu construction wall
+    55.0 s with AQE vs 44.1 s without at 2M rows) — negligible against
+    hours-long 100 TB jobs, but a fixed serial cost that dominates the
+    Amdahl fit on minute-long sandbox proxies, so the scaling-efficiency
+    harness turns it off at BOTH levels while the production bench keeps
+    it on."""
     builder = SparkSession.builder.master(f"local[{cpus}]")
     if jvm_cpus is not None:
         builder = builder.config(
             "spark.driver.extraJavaOptions",
             f"-XX:ActiveProcessorCount={jvm_cpus}",
+        )
+    if not aqe:
+        return (
+            builder.appName("ontograph-spark-bench")
+            .config("spark.sql.shuffle.partitions", str(cpus * 2))
+            .config("spark.sql.adaptive.enabled", "false")
+            .config("spark.sql.files.maxPartitionBytes", "2m")
+            .config("spark.sql.files.openCostInBytes", "256k")
+            .config("spark.sql.limit.initialNumPartitions", "64")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config(
+                "spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "48g")
+            )
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .getOrCreate()
         )
     return (
         builder
