@@ -30,7 +30,8 @@ AGAINST us, not for us. Reported alongside: per-level CPU-seconds
 parallelism-independent (no duplicated work at 4N).
 
 Usage: python bench_scaling_paired.py [rows] [windows] [N] [4N]
-(defaults 6_000_000, 3, 2, 8)
+(defaults 6_000_000, 3, 2, 8); windows=0 recomputes the summary from the
+accumulated result file without running anything
 
 Writes BENCH/scaling_paired_{N}_{4N}.json and prints one JSON line.
 """
@@ -122,6 +123,24 @@ print(json.dumps({"wall": wall, "triples": triples,
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
+def _generate_source(rows: int, src: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "from bench import build_spark\n"
+            "from ontograph_spark.pipeline.repo_source import synthesize_repo_table\n"
+            "spark = build_spark(32)\n"
+            f"synthesize_repo_table(spark, {rows}, partitions=128)"
+            f".write.mode('overwrite').parquet('{src}')\n"
+            "spark.stop()\n",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+
+
 def run_once(cpus: int, src: str, cpuset: str) -> dict:
     """One fresh-JVM run hard-pinned (taskset, inherited by the JVM and
     its python workers) to a disjoint CPU set — the two co-running
@@ -152,26 +171,13 @@ def main() -> None:
     n_hi = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     factor = n_hi / n_lo
 
-    src = tempfile.mkdtemp(prefix="og_pairsrc_", dir="/dev/shm")
-    gen = subprocess.run(
-        [
-            sys.executable,
-            "-c",
-            "from bench import build_spark\n"
-            "from ontograph_spark.pipeline.repo_source import synthesize_repo_table\n"
-            "spark = build_spark(32)\n"
-            f"synthesize_repo_table(spark, {rows}, partitions=128)"
-            f".write.mode('overwrite').parquet('{src}')\n"
-            "spark.stop()\n",
-        ],
-        capture_output=True,
-        text=True,
-        cwd=REPO,
-    )
-    if gen.returncode != 0:
-        sys.stderr.write(gen.stderr[-2000:])
-        sys.exit(1)
-
+    src = ""
+    if windows > 0:
+        src = tempfile.mkdtemp(prefix="og_pairsrc_", dir="/dev/shm")
+        gen = _generate_source(rows, src)
+        if gen.returncode != 0:
+            sys.stderr.write(gen.stderr[-2000:])
+            sys.exit(1)
     out_path = f"BENCH/scaling_paired_{n_lo}_{n_hi}.json"
     window_rows: list[dict] = []
     if os.path.exists(out_path):  # accumulate across invocations
@@ -190,11 +196,14 @@ def main() -> None:
         # <=30%): the noise level held for the whole window, so the
         # lo/hi ratio is a like-for-like comparison. A non-stationary
         # window (hi walls 50 s and 690 s side by side) says nothing —
-        # lo and hi saw different conditions despite co-running.
+        # lo and hi saw different conditions despite co-running. A window
+        # with a SINGLE in-window hi run satisfies the spread bound
+        # vacuously and proves nothing — require >=2 runs.
         stationary = [
             w
             for w in window_rows
-            if max(w["hi_walls_in_window"]) <= 1.3 * min(w["hi_walls_in_window"])
+            if len(w["hi_walls_in_window"]) >= 2
+            and max(w["hi_walls_in_window"]) <= 1.3 * min(w["hi_walls_in_window"])
         ]
         best = max(stationary, key=lambda w: w["efficiency"]) if stationary else None
         lo_min = min(w["lo_wall_sec"] for w in window_rows)
@@ -207,8 +216,9 @@ def main() -> None:
             "capped to the level (ActiveProcessorCount); hi level loops "
             "fresh JVMs until lo finishes; per-window efficiency = "
             "T_lo/(factor*min in-window T_hi); headline uses stationary "
-            "windows only (in-window hi walls within 30%), since a window "
-            "whose own hi runs disagree saw a mid-window noise shift; "
+            "windows only (>=2 in-window hi walls, all within 30%), since "
+            "a window whose own hi runs disagree saw a mid-window noise "
+            "shift and a single-run window cannot show stationarity; "
             "cross-window min-of-K reported alongside; CPU-seconds per JVM "
             "pin work conservation across parallelism",
             "windows": window_rows,
