@@ -743,6 +743,22 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The synthesized media table is deterministic (sha256-seeded payloads,
+# fixed 300 rows at every SF), so the rollup is a golden pin — same
+# pattern as _SQL_KG_PIPELINE_SMOKE. Derivation (pure Python, no Spark):
+# kind = [image,audio,video][i%3]; payload bytes = min(32*((i%7)+1),
+# 64+(i%129)); frames: video → duration_ms//1000 + 1 with duration =
+# 1000 + i%5000, else 1. Verified against the Spark run bit-for-bit.
+_SQL_MULTIMODAL_FEATURES = """
+SELECT kind, CAST(n AS BIGINT) AS n, CAST(total_bytes AS BIGINT) AS total_bytes
+FROM (VALUES
+  ('audio', 100, 9414),
+  ('image', 100, 9221),
+  ('video', 100, 9512)
+) v(kind, n, total_bytes)
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling fan-out: one row per sampled frame timestamp
     (decode stubbed, plumbing real). Rows-only check."""
@@ -758,6 +774,12 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_frames"))
         .orderBy("kind")
     )
+
+
+_SQL_MULTIMODAL_FRAMES = """
+SELECT kind, CAST(n_frames AS BIGINT) AS n_frames
+FROM (VALUES ('audio', 100), ('image', 100), ('video', 200)) v(kind, n_frames)
+"""
 
 
 def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1048,7 +1070,11 @@ def oracle_sql() -> dict[str, str]:
         "docs_minhash_pairs": _minhash_pairs_sql(),
         "docs_simhash_pairs": _simhash_pairs_sql(),
         "kg_pipeline_smoke": _SQL_KG_PIPELINE_SMOKE,
-        # multimodal_features / multimodal_frames: genuinely
-        # non-SQL-expressible (Arrow mapInPandas stages) → rows-only
-        # checks; byte-exact values are pinned in tests/test_functions.py
+        # multimodal: the Arrow mapInPandas stages aren't SQL-expressible,
+        # but their input is a deterministic fixed-size synth table, so
+        # the rollups are golden VALUES pins (derived in pure Python,
+        # verified against Spark); per-value byte-exact features stay
+        # pinned in tests/test_functions.py
+        "multimodal_features": _SQL_MULTIMODAL_FEATURES,
+        "multimodal_frames": _SQL_MULTIMODAL_FRAMES,
     }
