@@ -45,14 +45,36 @@ _RDF_TYPE_TERM = mk_resource(vocab.RDF_TYPE)
 
 
 def salted_repartition(
-    quads: DataFrame, num_partitions: int, hot_salt: int = 64, subj_salt: int = 16
+    quads: DataFrame,
+    num_partitions: int,
+    hot_salt: int | None = None,
+    subj_salt: int | None = None,
 ) -> DataFrame:
     """Repartition by a skew-aware key: hot ``rdf:type`` rows spread by
-    (subj, obj); everything else co-locates by salted subject."""
-    salt = F.when(
-        F.col("pred") == _RDF_TYPE_TERM,
-        F.pmod(F.xxhash64(F.col("subj"), F.col("obj")), F.lit(hot_salt)) + F.lit(1000),
-    ).otherwise(F.pmod(F.xxhash64(F.col("subj")), F.lit(subj_salt)))
+    (subj, obj); everything else co-locates by salted subject.
+
+    By default the salt is the UNBUCKETED subject hash: every distinct
+    subject is its own key, so balance is governed by hash uniformity
+    over millions of subjects, and per-subject co-location still holds
+    exactly (same subject → same key → same partition). Bucketing the
+    salt (``subj_salt=16``, the old default) made each bucket an
+    indivisible unit of ~6% of all rows — hashing 16 such units into 8
+    partitions deals some partitions 3 and others 1, measured as a 3.4×
+    finish-time spread across the final write tasks (19–65 s),
+    serializing the job end on the fattest partition. Pass explicit
+    bucket counts only when a bounded key space is needed (e.g. stable
+    bucket ids for manifests)."""
+    if hot_salt is None:
+        hot = F.xxhash64(F.col("subj"), F.col("obj"))
+    else:
+        hot = F.pmod(F.xxhash64(F.col("subj"), F.col("obj")), F.lit(hot_salt)) + F.lit(
+            1_000_000
+        )
+    if subj_salt is None:
+        subj = F.xxhash64(F.col("subj"))
+    else:
+        subj = F.pmod(F.xxhash64(F.col("subj")), F.lit(subj_salt))
+    salt = F.when(F.col("pred") == _RDF_TYPE_TERM, hot).otherwise(subj)
     return quads.repartition(num_partitions, F.col("graph"), salt)
 
 
