@@ -397,8 +397,9 @@ def ngram_jaccard_bitmap_pairs(
     BroadcastNestedLoopJoin, which evaluates the join condition
     row-at-a-time per pair with no whole-stage codegen; measured
     ~39 µs/pair (114 s cold / 30 s warm for the 12.5M pairs at sf0.1).
-    The numpy form does the identical arithmetic at SIMD speed
-    (~0.1 µs/pair, <2 s end-to-end) and ships one 1.3 MB broadcast.
+    The numpy form does the identical arithmetic at SIMD speed (verify
+    stage measured 2.5 s at sf0.1 on a quiet host, whole operator 6.3 s
+    mostly fixed job overhead) and ships one 1.3 MB broadcast.
     The stream side is explicitly re-spread first: AQE coalesces the
     tiny bitmap table to ONE partition, which would serialize the n²
     verify — partitioning must track the PAIR count, not input bytes.
