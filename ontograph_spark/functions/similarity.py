@@ -50,6 +50,36 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _cells_array(cells: DataFrame) -> DataFrame:
+    """Pack a small (cid, cv) cell table into ONE row holding a
+    cid-sorted ``array<struct<cid,cv>>`` — the broadcast side of the
+    zero-shuffle assignment in :func:`_nearest_cid`."""
+    return cells.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cells")
+    )
+
+
+def _nearest_cid(vec: Column, cells: Column) -> Column:
+    """Argmax-cosine cell id as a fold over the packed cell array:
+    maximum similarity, ties to the lowest cid — exactly the rank-1 row
+    of a ``(d DESC, cid ASC)`` window (``cells`` is cid-sorted and the
+    strict ``>`` keeps the earlier cid on ties), but evaluated per-row
+    in one projection: no n×nlist row expansion and **no shuffle**,
+    where the window form sorts the expanded corpus by vector id."""
+    init = F.struct(
+        F.lit(float("-inf")).cast("double").alias("d"),
+        F.lit(None).cast("bigint").alias("cid"),
+    )
+
+    def merge(acc: Column, c: Column) -> Column:
+        d = cosine(vec, c["cv"])
+        return F.when(
+            d > acc["d"], F.struct(d.alias("d"), c["cid"].alias("cid"))
+        ).otherwise(acc)
+
+    return F.aggregate(cells, init, merge)["cid"]
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -172,20 +202,11 @@ def ivf_topk(
         .limit(nlist)
         .select(F.col("neighbor_id").alias("cid"), F.col("nv").alias("cv"))
     )
-    seeds = F.broadcast(seeds)
-    # one Lloyd refinement: assign, then mean per cell (element-wise)
+    # one Lloyd refinement: assign (zero-shuffle packed-array argmax),
+    # then mean per cell (element-wise)
     assigned = (
-        v.crossJoin(seeds)
-        .withColumn("d", cosine(F.col("nv"), F.col("cv")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("neighbor_id").orderBy(
-                    F.col("d").desc(), F.col("cid")
-                )
-            ),
-        )
-        .where(F.col("rn") == 1)
+        v.crossJoin(F.broadcast(_cells_array(seeds)))
+        .withColumn("cid", _nearest_cid(F.col("nv"), F.col("cells")))
         .select("neighbor_id", "nv", "cid")
     )
     # Element-wise centroid means via a *sequential* fold in member-id
@@ -210,17 +231,8 @@ def ivf_topk(
         .select("cid", F.transform("px", lambda s: s["x"]).alias("cv"))
     )
     cells = (
-        v.crossJoin(centroids)
-        .withColumn("d", cosine(F.col("nv"), F.col("cv")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("neighbor_id").orderBy(
-                    F.col("d").desc(), F.col("cid")
-                )
-            ),
-        )
-        .where(F.col("rn") == 1)
+        v.crossJoin(F.broadcast(_cells_array(centroids)))
+        .withColumn("cid", _nearest_cid(F.col("nv"), F.col("cells")))
         .select("neighbor_id", "nv", "cid")
     )
     q = F.broadcast(
