@@ -573,6 +573,64 @@ def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup keep-list: cluster the exact n-gram Jaccard pairs
+    (t=0.5, same edge set as docs_ngram_jaccard) with connected
+    components and keep the min-id representative per cluster. The
+    oracle recomputes the clustering as a recursive-CTE transitive
+    closure over the same pair set."""
+    from ontograph_spark.functions.dedup import near_dup_keep
+
+    docs = _read(spark, sf_dir, "documents")
+    return near_dup_keep(docs, "doc_id", "text", threshold=0.5).select(
+        F.col("id").alias("doc_id"), "canonical_id", "keep"
+    )
+
+
+_SQL_DOCS_DEDUP_KEEP = r"""
+WITH RECURSIVE nrm AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(length(t) - 4, 1)),
+           i -> substring(t, i, 5)))) AS s
+  FROM nrm
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+it AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM it
+  JOIN sz sa ON it.id_a = sa.doc_id
+  JOIN sz sb ON it.id_b = sb.doc_id
+  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+canon AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id)
+SELECT d.doc_id,
+       COALESCE(c.canonical_id, d.doc_id) AS canonical_id,
+       COALESCE(c.canonical_id, d.doc_id) = d.doc_id AS keep
+FROM documents d
+LEFT JOIN canon c ON c.id = d.doc_id
+"""
+
+
 _SQL_DOCS_NGRAM_JACCARD = r"""
 WITH nrm AS (
   SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
@@ -1027,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality": q_docs_quality,
         "docs_bpe_tokens": q_docs_bpe_tokens,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
+        "docs_dedup_keep": q_docs_dedup_keep,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "multimodal_features": q_multimodal_features,
@@ -1064,6 +1123,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_quality": _SQL_DOCS_QUALITY,
         "docs_bpe_tokens": _SQL_DOCS_BPE_TOKENS,
         "docs_ngram_jaccard": _SQL_DOCS_NGRAM_JACCARD,
+        "docs_dedup_keep": _SQL_DOCS_DEDUP_KEEP,
         "emb_lsh_topk": _lsh_topk_sql(),
         "emb_ivf_topk": _SQL_EMB_IVF_TOPK,
         "emb_near_dup": _emb_near_dup_sql(),

@@ -657,3 +657,67 @@ def simhash_near_pairs(
     return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def near_dup_keep(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    pairs: DataFrame | None = None,
+    pairs_driver_threshold: int = 100_000,
+) -> DataFrame:
+    """Training-pipeline dedup keep-list: ``(id, canonical_id, keep)``
+    for EVERY input document. Near-dup pair edges (``pairs``, default
+    :func:`ngram_jaccard_bitmap_pairs` at ``threshold``) are clustered
+    with connected components; each document's ``canonical_id`` is the
+    minimum id of its component (its own id when it has no near-dup),
+    and ``keep`` marks the one representative per cluster — the rows a
+    dedup pass retains.
+
+    Execution: pair sets under ``pairs_driver_threshold`` solve with a
+    plain min-id union-find on the driver (one bounded ``take``; a
+    distributed iteration on a tiny graph is pure scheduler overhead) —
+    larger sets run the distributed min-label propagation
+    (ontograph_spark.pipeline.canon.connected_components). Both paths
+    produce the identical min-id mapping. The final join broadcasts the
+    mapping (one row per clustered doc — bounded by the duplicate count,
+    not the corpus), so the corpus-side pass is shuffle-free."""
+    if pairs is None:
+        pairs = ngram_jaccard_bitmap_pairs(
+            df, id_col, text_col, shingle_k=shingle_k, threshold=threshold
+        )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    rows = edges.take(pairs_driver_threshold + 1)
+    if len(rows) <= pairs_driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            ra, rb = find(r["src"]), find(r["dst"])
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        mapping = [(n, find(n)) for n in parent]
+        comp = df.sparkSession.createDataFrame(
+            mapping or [], "node long, component long"
+        )
+    else:
+        from ontograph_spark.pipeline.canon import connected_components
+
+        comp = connected_components(edges)
+    out = (
+        df.select(F.col(id_col).alias("id"))
+        .join(
+            F.broadcast(comp.withColumnRenamed("node", "id")), "id", "left"
+        )
+        .select("id", F.coalesce("component", F.col("id")).alias("canonical_id"))
+    )
+    return out.withColumn("keep", F.col("id") == F.col("canonical_id"))

@@ -412,3 +412,32 @@ def test_frame_sample(spark):
     for mid, ms in by_media.items():
         if meta[mid]["kind"] != "video":
             assert ms == [0]
+
+
+def test_near_dup_keep(spark, docs_df):
+    from ontograph_spark.functions.dedup import near_dup_keep
+
+    got = {
+        r["id"]: (r["canonical_id"], r["keep"])
+        for r in near_dup_keep(docs_df, "doc_id", threshold=0.5).collect()
+    }
+    # docs 0/1 exact dups, 2 a near dup of both → one cluster with min id 0
+    assert got[0] == (0, True)
+    assert got[1] == (0, False)
+    assert got[2] == (0, False)
+    # singletons keep themselves
+    assert got[3] == (3, True)
+    assert got[4] == (4, True)
+    assert len(got) == 5
+
+
+def test_near_dup_keep_distributed_path_matches(spark, docs_df):
+    """The distributed CC fallback must produce the identical mapping as
+    the driver union-find (forced by a zero driver threshold)."""
+    from ontograph_spark.functions.dedup import near_dup_keep
+
+    small = near_dup_keep(docs_df, "doc_id", threshold=0.5).collect()
+    large = near_dup_keep(
+        docs_df, "doc_id", threshold=0.5, pairs_driver_threshold=0
+    ).collect()
+    assert sorted(map(tuple, small)) == sorted(map(tuple, large))
