@@ -25,7 +25,7 @@ from pyspark.sql import SparkSession
 
 
 def build_spark(
-    cpus: int, jvm_cpus: int | None = None, aqe: bool = True
+    cpus: int, jvm_cpus: int | None = None, aqe: bool = True, ui: bool = False
 ) -> SparkSession:
     """``jvm_cpus`` caps the JVM's *perceived* processor count
     (-XX:ActiveProcessorCount): GC / JIT / netty pools size to it instead
@@ -59,7 +59,9 @@ def build_spark(
             .config(
                 "spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "48g")
             )
-            .config("spark.ui.enabled", "false")
+            # ui=True lets harnesses read per-stage executorCpuTime from the
+            # status API (the work-conservation instrument); off for benches
+            .config("spark.ui.enabled", "true" if ui else "false")
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
             .getOrCreate()
         )

@@ -84,9 +84,28 @@ def tree_cpu_sec():
     return sum(t for p, t in ticks.items() if is_desc(p)) / hz
 
 cpus, src = int(sys.argv[1]), sys.argv[2]
-spark = build_spark(cpus, jvm_cpus=cpus, aqe=False)
+spark = build_spark(cpus, jvm_cpus=cpus, aqe=False, ui=True)
 spark.sparkContext.setLogLevel("ERROR")
 files = spark.read.parquet(src)
+
+import urllib.request
+_ui = spark.sparkContext.uiWebUrl
+_app = spark.sparkContext.applicationId
+
+def task_cpu_sec():
+    # sum of per-task executorCpuTime over all COMPLETE stages: the
+    # work-conservation instrument (process-tree sampling undercounts when
+    # python workers exit between samples)
+    try:
+        with urllib.request.urlopen(f"{_ui}/api/v1/applications/{_app}/stages") as r:
+            stages = json.load(r)
+        return sum(
+            s.get("executorCpuTime", 0) / 1e9
+            for s in stages
+            if s.get("status") == "COMPLETE"
+        )
+    except Exception:
+        return float("nan")
 
 def one(frac=None):
     inp = files.sample(frac, seed=7) if frac else files
@@ -104,13 +123,29 @@ one(0.05)  # warmup: codegen compile, python worker spin-up (untimed)
 spark.catalog.clearCache()
 for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
     rdd.unpersist()
-cpu1, s1 = tree_cpu_sec(), steal_ticks()
+cpu1, s1, tc1 = tree_cpu_sec(), steal_ticks(), task_cpu_sec()
 wall, triples = one()  # ONE timed run per JVM
-cpu2, s2 = tree_cpu_sec(), steal_ticks()
+cpu2, s2, tc2 = tree_cpu_sec(), steal_ticks(), task_cpu_sec()
 spark.stop()
 print(json.dumps({"wall": wall, "triples": triples,
                   "cpu_sec": round(cpu2 - cpu1, 1),
+                  "task_cpu_sec": round(tc2 - tc1, 1),
                   "steal_core_sec": round((s2 - s1) / 100.0, 1)}))
+"""
+
+BW_PROBE = r"""
+import json, sys, time
+import numpy as np
+a = np.zeros(200_000_000, dtype=np.uint8)
+b = np.zeros_like(a)
+while True:
+    t = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        b[:] = a
+        t.append(time.perf_counter() - t0)
+    print(json.dumps({"gbps": round(0.2 / min(t), 2)}), flush=True)
+    time.sleep(15)
 """
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -134,22 +169,48 @@ def _generate_source(rows: int, src: str) -> subprocess.CompletedProcess:
     )
 
 
-def run_once(cpus: int, src: str, cpuset: str) -> dict:
+def run_once(cpus: int, src: str, cpuset: str, probe_cpu: str = "31") -> dict:
     """One fresh-JVM run, taskset-pinned so the JVM and its python
-    workers behave like an N-core executor container."""
+    workers behave like an N-core executor container. A single-threaded
+    memcpy probe pinned to a cpu OUTSIDE the run's set samples achievable
+    memory bandwidth every 15 s for the run's duration — co-tenant
+    bandwidth contention is the noise source /proc/stat steal cannot see
+    (observed: identical runs burning 485 vs 1023 task-cpu-s at steal=0)."""
     load0 = os.getloadavg()[0]
     for attempt in (1, 2):
-        p = subprocess.run(
-            ["taskset", "-c", cpuset, sys.executable, "-c", RUNNER, str(cpus), src],
-            capture_output=True,
+        probe = subprocess.Popen(
+            ["taskset", "-c", probe_cpu, sys.executable, "-c", BW_PROBE],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
             text=True,
-            cwd=REPO,
         )
+        try:
+            p = subprocess.run(
+                ["taskset", "-c", cpuset, sys.executable, "-c", RUNNER, str(cpus), src],
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+            )
+        finally:
+            probe.terminate()
+            bw = []
+            try:
+                for line in probe.stdout:
+                    try:
+                        bw.append(json.loads(line)["gbps"])
+                    except ValueError:
+                        pass
+            except Exception:
+                pass
+            probe.wait()
         if p.returncode == 0:
             r = json.loads(p.stdout.strip().splitlines()[-1])
             r["load_at_start"] = round(load0, 1)
             r["stolen_cores_avg"] = round(r["steal_core_sec"] / r["wall"], 3)
             r["quiet"] = r["stolen_cores_avg"] <= STEAL_GATE
+            if bw:
+                r["bw_gbps_med"] = statistics.median(bw)
+                r["bw_gbps_min"] = min(bw)
             return r
         sys.stderr.write(p.stderr[-2000:])
         sys.stderr.write(f"\nrunner local[{cpus}] attempt {attempt} failed\n")
@@ -185,6 +246,19 @@ def main() -> None:
             if quiet_lo and quiet_hi
             else None
         )
+
+        def best(level):
+            rs = [r for r in runs[level] if r["quiet"]] or runs[level]
+            return min(rs, key=lambda r: r["wall"])
+
+        conservation = {
+            lv: {
+                "wall": round(best(lv)["wall"], 1),
+                "task_cpu_sec": best(lv).get("task_cpu_sec"),
+                "bw_gbps_med": best(lv).get("bw_gbps_med"),
+            }
+            for lv in ("lo", "hi")
+        }
         out = {
             "rows": rows,
             "levels": [n_lo, n_hi],
@@ -199,6 +273,10 @@ def main() -> None:
             "runs": runs,
             "quiet_runs": {"lo": len(quiet_lo), "hi": len(quiet_hi)},
             "efficiency_quiet_min": eff_quiet,
+            # task_cpu_sec of each level's best run: if hi ≈ lo the 4x level
+            # does the same total work, only spread — per-run inflation above
+            # that is host bandwidth contention (see bw_gbps_med)
+            "best_run_work": conservation,
             "efficiency_ungated_min": round(min(all_lo) / (factor * min(all_hi)), 3),
             "efficiency_median": round(
                 statistics.median(all_lo) / (factor * statistics.median(all_hi)), 3

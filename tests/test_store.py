@@ -210,6 +210,61 @@ def test_turtle_pretty_has_prefixes(store):
     assert ":rel-1" in text
 
 
+def test_turtle_pretty_golden(spark):
+    """Byte-exact pin of the pretty formatter's output shape
+    (memory_store.go:242-299): header = @prefix lines (empty prefix first,
+    then rdf/rdfs/owl/xsd, then one per owl:imports target abbreviated by
+    the segment after the last '/'), one @base line, then statements
+    separated by blank lines with graph-namespace URIs rewritten to the
+    empty prefix. Statement ORDER follows store iteration (a Go map walk in
+    the reference — not part of the pinned contract), so the body is
+    compared as a multiset of byte-exact statements."""
+    uri = "https://www.ontograph.com/golden"
+    s = MemoryQuadStore(spark, uri)
+    s.add_triples(
+        [
+            new_triple(
+                mk_resource(uri),
+                mk_resource("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"),
+                mk_resource("http://www.w3.org/2002/07/owl#Ontology"),
+            ),
+            new_triple(
+                mk_resource(uri),
+                mk_resource("http://www.w3.org/2002/07/owl#imports"),
+                mk_resource("https://deps.example/ontologies/core"),
+            ),
+            new_triple(
+                mk_resource(f"{uri}#a"),
+                mk_resource("https://deps.example/ontologies/core#rel"),
+                mk_literal("lit", "de", ""),
+            ),
+        ]
+    )
+    buf = io.StringIO()
+    s.serialize_to_turtle(buf, pretty=True)
+    text = buf.getvalue()
+
+    header, _, body = text.partition(" .\n\n")
+    header += " .\n\n"
+    assert header == (
+        f"@prefix : <{uri}#> .\n"
+        "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .\n"
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        "@prefix owl: <http://www.w3.org/2002/07/owl#> .\n"
+        "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .\n"
+        "@prefix core: <https://deps.example/ontologies/core#> .\n"
+        f"@base <{uri}> .\n\n"
+    )
+    statements = sorted(st for st in body.split("\n\n") if st.strip())
+    assert statements == sorted(
+        [
+            f"<{uri}> owl:imports <https://deps.example/ontologies/core> .",
+            f"<{uri}> rdf:type owl:Ontology .",
+            ':a core:rel "lit"@de .',
+        ]
+    )
+
+
 def test_graphs_listing(store):
     """GetGraphs analogue (blazegraph_endpoint.go:158-175)."""
     assert store.graphs() == [GRAPH_URI]
