@@ -91,6 +91,16 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="skip the static ontology-schema quads",
     )
+    p.add_argument(
+        "--warmup-frac",
+        type=float,
+        default=0.0,
+        metavar="FRAC",
+        help="run construction on a FRAC sample first, untimed and "
+        "discarded, so the reported wall measures warm executors (JIT, "
+        "codegen, python workers) — the steady state of a long-lived "
+        "cluster. 0 (default) = measure cold.",
+    )
     return p
 
 
@@ -113,6 +123,24 @@ def main(argv: list[str] | None = None) -> int:
             file=sys.stderr,
         )
         return 2
+
+    if args.warmup_frac > 0:
+        import os as _os
+        import tempfile as _tempfile
+
+        # land the warmup output next to the real one (same filesystem)
+        wout = _tempfile.mkdtemp(
+            prefix="og_warmup_", dir=_os.path.dirname(args.output) or None
+        )
+        write_quads(
+            construct_kg(spark, files.sample(args.warmup_frac, seed=7)),
+            wout,
+            args.write_partitions,
+        )
+        import shutil as _shutil
+
+        _shutil.rmtree(wout, ignore_errors=True)
+        spark.catalog.clearCache()
 
     t0 = time.time()
     if args.buckets > 0:
