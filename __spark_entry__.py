@@ -551,6 +551,38 @@ FROM documents
 """
 
 
+def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: documents sharing a word 4-gram with the
+    held-out probe set (every 25th doc plays the benchmark suite). The
+    probe n-gram table is broadcast; corpus-side distinctness happens
+    inside the row (array_distinct), so the corpus never shuffles before
+    the join — the 100 TB shape (functions/text.py:contamination_pairs)."""
+    docs = _read(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("probe_id"), "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 25 != 0)
+    return T.contamination_pairs(corpus, probes, n=4).select(
+        "doc_id", "probe_id", F.col("shared_ngrams").cast("bigint").alias("shared_ngrams")
+    )
+
+
+_SQL_DOCS_DECONTAMINATE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)-4+2),
+         i -> array_to_string(t[i:i+4-1], ' '))) AS g FROM toks
+),
+probe AS (SELECT DISTINCT doc_id AS probe_id, g FROM grams WHERE doc_id % 25 = 0),
+corpus AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 25 <> 0)
+SELECT c.doc_id, p.probe_id, CAST(count(*) AS BIGINT) AS shared_ngrams
+FROM corpus c JOIN probe p USING (g)
+GROUP BY c.doc_id, p.probe_id
+"""
+
+
 def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs n-gram Jaccard (t=0.5) — bitmap-verification path.
 
@@ -1085,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality": q_docs_quality,
         "docs_bpe_tokens": q_docs_bpe_tokens,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
+        "docs_decontaminate": q_docs_decontaminate,
         "docs_dedup_keep": q_docs_dedup_keep,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
@@ -1123,6 +1156,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_quality": _SQL_DOCS_QUALITY,
         "docs_bpe_tokens": _SQL_DOCS_BPE_TOKENS,
         "docs_ngram_jaccard": _SQL_DOCS_NGRAM_JACCARD,
+        "docs_decontaminate": _SQL_DOCS_DECONTAMINATE,
         "docs_dedup_keep": _SQL_DOCS_DEDUP_KEEP,
         "emb_lsh_topk": _lsh_topk_sql(),
         "emb_ivf_topk": _SQL_EMB_IVF_TOPK,

@@ -10,7 +10,7 @@ semantics are pinned cross-engine — e.g. token counting is
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: tiny per-language stopword heads for the n-gram language heuristic
@@ -96,3 +96,52 @@ def shingles(c: Column | str, k: int = 5) -> Column:
     n = F.length(norm)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.transform(idx, lambda i: F.substring(norm, i, k))
+
+
+def word_ngrams(c: Column | str, n: int = 4) -> Column:
+    """Word n-gram array over lowercased, whitespace-split text. Docs with
+    fewer than ``n`` tokens yield an empty array (mirrors an empty
+    ``range()`` in the SQL twin)."""
+    toks = F.split(F.lower(F.trim(_col(c))), r"\s+")
+    cnt = F.size(toks)
+    idx = F.when(cnt >= n, F.sequence(F.lit(1), cnt - n + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+def contamination_pairs(
+    docs: DataFrame,
+    probes: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_id_col: str = "probe_id",
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: every (corpus doc, probe doc) pair that
+    shares ≥1 word n-gram, with the count of distinct shared n-grams.
+
+    The standard pretraining hygiene step (strip eval-set overlap from the
+    corpus before training): the probe side is the benchmark suite.
+
+    100 TB plan shape: per-document distinctness via ``array_distinct``
+    INSIDE the row (no shuffle), probe n-grams exploded and broadcast
+    (a benchmark suite is tiny next to the corpus), so the corpus side is
+    one flatMap into a broadcast hash join; the only shuffle is the final
+    (doc, probe) count over matched rows — a vanishing fraction of the
+    corpus — with map-side partial aggregation.
+    """
+    corpus_g = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("g"),
+    )
+    probe_g = probes.select(
+        F.col(probe_id_col),
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("g"),
+    )
+    return (
+        corpus_g.join(F.broadcast(probe_g), "g")
+        .groupBy(id_col, probe_id_col)
+        .agg(F.count("*").alias("shared_ngrams"))
+    )

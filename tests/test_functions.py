@@ -441,3 +441,34 @@ def test_near_dup_keep_distributed_path_matches(spark, docs_df):
         docs_df, "doc_id", threshold=0.5, pairs_driver_threshold=0
     ).collect()
     assert sorted(map(tuple, small)) == sorted(map(tuple, large))
+
+
+def test_word_ngrams_and_contamination_pairs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "x B c d E y"),  # case-folded before gram build
+            (3, "b c d e b c d e b c d e"),  # repeated gram counts once
+            (4, "b c"),  # shorter than n -> no grams
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(0, "b c d e f")], "probe_id long, text string"
+    )
+    grams = docs.filter("doc_id = 1").select(
+        T.word_ngrams("text", 4).alias("g")
+    ).first()["g"]
+    assert grams == ["a b c d", "b c d e"]
+    empty = docs.filter("doc_id = 4").select(
+        T.word_ngrams("text", 4).alias("g")
+    ).first()["g"]
+    assert empty == []
+
+    got = {
+        (r["doc_id"], r["probe_id"]): r["shared_ngrams"]
+        for r in T.contamination_pairs(docs, probes, n=4).collect()
+    }
+    # every corpus doc shares exactly the 'b c d e' gram with the probe;
+    # doc 3 has it three times but array_distinct counts it once
+    assert got == {(1, 0): 1, (2, 0): 1, (3, 0): 1}
