@@ -98,6 +98,39 @@ def shingles(c: Column | str, k: int = 5) -> Column:
     return F.transform(idx, lambda i: F.substring(norm, i, k))
 
 
+#: PII surface forms a pretraining scrub pass removes, most-specific
+#: first (emails before phone-ish digit runs so an address is consumed
+#: whole, not partially as a phone number)
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    # spaces/parens allowed inside so "(555) 123-4567" is consumed whole;
+    # a scrubber should over- rather than under-redact digit runs
+    ("phone", r"\+?\(?\d[\d()\s.-]{6,}\d"),
+]
+
+
+def pii_count(c: Column | str) -> Column:
+    """Total PII hits across the pattern table (pre-redaction count, so
+    overlapping classes each report their own hits)."""
+    col = _col(c)
+    out = F.lit(0)
+    for _, pat in PII_PATTERNS:
+        out = out + F.regexp_count(col, F.lit(pat))
+    return out
+
+
+def redact_pii(c: Column | str, replacement: str = "[PII]") -> Column:
+    """Scrub emails / IPv4s / phone-like digit runs, applied in
+    PII_PATTERNS order so broader patterns never bite fragments of an
+    already-redacted narrower match. Pure Column regexp chain — stays in
+    whole-stage codegen at 100 TB."""
+    out = _col(c)
+    for _, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, replacement)
+    return out
+
+
 def word_ngrams(c: Column | str, n: int = 4) -> Column:
     """Word n-gram array over lowercased, whitespace-split text. Docs with
     fewer than ``n`` tokens yield an empty array (mirrors an empty

@@ -472,3 +472,29 @@ def test_word_ngrams_and_contamination_pairs(spark):
     # every corpus doc shares exactly the 'b c d e' gram with the probe;
     # doc 3 has it three times but array_distinct counts it once
     assert got == {(1, 0): 1, (2, 0): 1, (3, 0): 1}
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+spam@example.co.uk or call +1 (555) 123-4567"),
+            (2, "server at 10.0.42.7 went down"),
+            (3, "phone 555-123-9876 and backup 5551239876"),
+            (4, "clean text with no identifiers at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["red"], r["hits"])
+        for r in df.select(
+            "doc_id",
+            T.redact_pii("text").alias("red"),
+            T.pii_count("text").alias("hits"),
+        ).collect()
+    }
+    assert got[1] == ("mail me at [PII] or call [PII]", 2)
+    # the IPv4 also matches the digit-run pattern: pre-redaction counts
+    # report each class's own hits (2), the redaction chain scrubs once
+    assert got[2] == ("server at [PII] went down", 2)
+    assert got[3] == ("phone [PII] and backup [PII]", 2)
+    assert got[4] == ("clean text with no identifiers at all", 0)
