@@ -583,6 +583,65 @@ GROUP BY c.doc_id, p.probe_id
 """
 
 
+def _pii_seeded_text() -> F.Column:
+    """Deterministic PII planted per doc (the synthetic corpus carries
+    none — verified 0 hits for all three pattern classes): one email, one
+    IPv4, one phone, all derived from doc_id so both engines build the
+    identical byte string."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or (555) 123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+
+
+def q_docs_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: per-doc hit count across the pattern table plus the
+    sha256 of the fully redacted text (pins the scrub output value-exact).
+    Pure Column regexp chain (functions/text.py:pii_count/redact_pii) —
+    whole-stage codegen, no shuffle, the 100 TB shape for a corpus
+    hygiene pass."""
+    docs = _read(spark, sf_dir, "documents")
+    seeded = docs.select("doc_id", _pii_seeded_text().alias("t"))
+    return seeded.select(
+        "doc_id",
+        T.pii_count("t").cast("bigint").alias("pii_hits"),
+        F.length(T.redact_pii("t")).cast("bigint").alias("redacted_len"),
+        F.sha2(T.redact_pii("t"), 256).alias("redacted_sha"),
+    )
+
+
+def _docs_pii_sql() -> str:
+    """Oracle built from the same PII_PATTERNS table (all three patterns
+    are RE2-safe: no lookarounds/backrefs, and Java regex and RE2 agree
+    on leftmost-first greedy matching for them)."""
+    pats = [p for _, p in T.PII_PATTERNS]
+    seeded = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com or (555) 123-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+    )
+    hits = " + ".join(f"len(regexp_extract_all(t, '{p}'))" for p in pats)
+    red = "t"
+    for p in pats:
+        red = f"regexp_replace({red}, '{p}', '[PII]', 'g')"
+    return f"""
+WITH seeded AS (SELECT doc_id, {seeded} AS t FROM documents),
+red AS (SELECT doc_id, t, {red} AS r FROM seeded)
+SELECT doc_id,
+       CAST({hits} AS BIGINT) AS pii_hits,
+       CAST(length(r) AS BIGINT) AS redacted_len,
+       sha256(r) AS redacted_sha
+FROM red
+"""
+
+
 def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs n-gram Jaccard (t=0.5) — bitmap-verification path.
 
@@ -1118,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bpe_tokens": q_docs_bpe_tokens,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_decontaminate": q_docs_decontaminate,
+        "docs_pii": q_docs_pii,
         "docs_dedup_keep": q_docs_dedup_keep,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
@@ -1157,6 +1217,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_bpe_tokens": _SQL_DOCS_BPE_TOKENS,
         "docs_ngram_jaccard": _SQL_DOCS_NGRAM_JACCARD,
         "docs_decontaminate": _SQL_DOCS_DECONTAMINATE,
+        "docs_pii": _docs_pii_sql(),
         "docs_dedup_keep": _SQL_DOCS_DEDUP_KEEP,
         "emb_lsh_topk": _lsh_topk_sql(),
         "emb_ivf_topk": _SQL_EMB_IVF_TOPK,

@@ -20,9 +20,11 @@ BOTH levels (a cluster driver is not an executor); its fixed planning /
 canonicalization-take work is an honest serial term amortized by input
 size.
 
-Usage: python bench_scaling_cluster.py [rows] [pairs] [n_lo] [n_hi]
-(defaults 4_000_000, 4, 1, 4 — executor counts, 2 cores each).
-Results accumulate in BENCH/scaling_cluster_{n_lo}_{n_hi}.json.
+Usage: python bench_scaling_cluster.py [rows] [pairs] [n_lo] [n_hi] [levels]
+(defaults 4_000_000, 4, 1, 4, "lo,hi" — executor counts, 2 cores each).
+`levels` restricts which side of the pair runs (e.g. "hi" to farm more
+quiet hi-level windows against already-recorded lo runs). Results
+accumulate in BENCH/scaling_cluster_{n_lo}_{n_hi}.json.
 """
 
 from __future__ import annotations
@@ -299,6 +301,7 @@ def main() -> None:
     pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     n_lo = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     n_hi = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    levels_wanted = (sys.argv[5] if len(sys.argv) > 5 else "lo,hi").split(",")
     factor = n_hi / n_lo
     out_path = f"BENCH/scaling_cluster_{n_lo}_{n_hi}.json"
 
@@ -371,6 +374,8 @@ def main() -> None:
     try:
         for _ in range(pairs):
             for level, n_exec in (("lo", n_lo), ("hi", n_hi)):
+                if level not in levels_wanted:
+                    continue
                 try:
                     r = run_once(n_exec, src)
                 except RuntimeError as e:
