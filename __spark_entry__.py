@@ -642,6 +642,112 @@ FROM red
 """
 
 
+def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition quality signals (Gopher-style filter
+    inputs): duplicate word-3-gram fraction and top-word frequency
+    share, milli-rounded to pin the doubles value-exact. Pure Column
+    array exprs — per-row, no shuffle, whole-stage codegen."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(T.dup_ngram_fraction("text", 3) * 1000)
+        .cast("bigint")
+        .alias("dup3_milli"),
+        F.round(T.top_word_fraction("text") * 1000)
+        .cast("bigint")
+        .alias("topword_milli"),
+    )
+
+
+# same expression shape as the Column twins (1.0 - dist/total, top/total)
+# so both engines produce bit-identical doubles before the milli-round
+_SQL_DOCS_REPETITION = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, t,
+         list_transform(range(1, len(t)-3+2),
+                        i -> array_to_string(t[i:i+3-1], ' ')) AS g
+  FROM toks
+)
+SELECT doc_id,
+  CAST(round((CASE WHEN len(g) > 0
+       THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / CAST(len(g) AS DOUBLE)
+       ELSE 0.0 END) * 1000) AS BIGINT) AS dup3_milli,
+  CAST(round((CASE WHEN len(t) > 0
+       THEN CAST(list_max(list_transform(list_distinct(t),
+                 w -> len(list_filter(t, x -> x = w)))) AS DOUBLE)
+            / CAST(len(t) AS DOUBLE)
+       ELSE 0.0 END) * 1000) AS BIGINT) AS topword_milli
+FROM grams
+"""
+
+
+#: data-mixing profile for the sampling contract query: stratum srcK
+#: keeps (K+1) * 5% of its documents
+_SAMPLE_RATES = {f"src{k}": (k + 1) * 0.05 for k in range(20)}
+
+
+def q_docs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (data mixing): per-stratum keep
+    rates decided by a cross-engine md5-derived hash of doc_id, compared
+    as integers (functions/sampling.py:hash_stratified_sample). One
+    codegen filter, no shuffle, reproducible under task retries — the
+    property a 100 TB mixing pass needs."""
+    from ontograph_spark.functions.sampling import hash_stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return hash_stratified_sample(docs, _SAMPLE_RATES).select("doc_id", "source")
+
+
+def _docs_sample_sql() -> str:
+    from ontograph_spark.functions.sampling import hash_stratified_sample_sql
+
+    return (
+        "SELECT doc_id, source FROM documents WHERE "
+        + hash_stratified_sample_sql(_SAMPLE_RATES)
+    )
+
+
+def q_docs_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: lay documents end-to-end in deterministic order
+    within (source, doc_id % 8) groups and cut into 512-token training
+    sequences (functions/sampling.py:pack_sequences). One shuffle; the
+    bucket count bounds each window sort — the parallelism knob that
+    keeps packing distributed at 100 TB."""
+    from ontograph_spark.functions.sampling import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "ntok", T.bpe_ish_token_count("text").cast("long")
+    )
+    packed = pack_sequences(
+        docs, tokens_col="ntok", budget=512, buckets=8
+    )
+    return packed.select(
+        "doc_id", "source", "bucket", "ntok", "pack_offset", "pack_id"
+    )
+
+
+_SQL_DOCS_PACK = r"""
+WITH d AS (
+  SELECT doc_id, source, doc_id % 8 AS bucket,
+         CAST(len(regexp_extract_all(text,
+              '([A-Za-z]{1,6}|[0-9]|[^\sA-Za-z0-9])')) AS BIGINT) AS ntok
+  FROM documents
+),
+o AS (
+  SELECT doc_id, source, bucket, ntok,
+         CAST(sum(ntok) OVER (PARTITION BY source, bucket ORDER BY doc_id)
+              - ntok AS BIGINT) AS pack_offset
+  FROM d
+)
+SELECT doc_id, source, bucket, ntok, pack_offset,
+       CAST(floor(pack_offset / 512.0) AS BIGINT) AS pack_id
+FROM o
+"""
+
+
 def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs n-gram Jaccard (t=0.5) — bitmap-verification path.
 
@@ -1178,6 +1284,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_decontaminate": q_docs_decontaminate,
         "docs_pii": q_docs_pii,
+        "docs_repetition": q_docs_repetition,
+        "docs_sample": q_docs_sample,
+        "docs_pack": q_docs_pack,
         "docs_dedup_keep": q_docs_dedup_keep,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
@@ -1218,6 +1327,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_ngram_jaccard": _SQL_DOCS_NGRAM_JACCARD,
         "docs_decontaminate": _SQL_DOCS_DECONTAMINATE,
         "docs_pii": _docs_pii_sql(),
+        "docs_repetition": _SQL_DOCS_REPETITION,
+        "docs_sample": _docs_sample_sql(),
+        "docs_pack": _SQL_DOCS_PACK,
         "docs_dedup_keep": _SQL_DOCS_DEDUP_KEEP,
         "emb_lsh_topk": _lsh_topk_sql(),
         "emb_ivf_topk": _SQL_EMB_IVF_TOPK,

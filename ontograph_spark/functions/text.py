@@ -131,6 +131,38 @@ def redact_pii(c: Column | str, replacement: str = "[PII]") -> Column:
     return out
 
 
+def dup_ngram_fraction(c: Column | str, n: int = 3) -> Column:
+    """Within-document repetition signal: fraction of word ``n``-grams
+    that are repeats of an earlier n-gram in the same document
+    (1 - distinct/total; 0.0 for docs shorter than ``n`` words).
+    The Gopher-style rep filter a pretraining corpus pass drops
+    boilerplate/spam on. Pure Column array exprs — per-row, no shuffle."""
+    g = word_ngrams(c, n)
+    total = F.size(g)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / total.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def top_word_fraction(c: Column | str) -> Column:
+    """Frequency share of the most common word (lowercased, whitespace
+    tokens). High values flag keyword-stuffed / degenerate documents.
+    O(distinct x tokens) per row — fine for documents, all inside one
+    row (no shuffle)."""
+    toks = F.split(F.lower(F.trim(_col(c))), r"\s+")
+    total = F.size(toks)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda t: t == w)),
+        )
+    )
+    return F.when(total > 0, top.cast("double") / total.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
 def word_ngrams(c: Column | str, n: int = 4) -> Column:
     """Word n-gram array over lowercased, whitespace-split text. Docs with
     fewer than ``n`` tokens yield an empty array (mirrors an empty

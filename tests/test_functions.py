@@ -498,3 +498,71 @@ def test_redact_pii(spark):
     assert got[2] == ("server at [PII] went down", 2)
     assert got[3] == ("phone [PII] and backup [PII]", 2)
     assert got[4] == ("clean text with no identifiers at all", 0)
+
+
+def test_repetition_signals(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),  # 2-grams: ab ba ab ba ab -> 2/5 distinct
+            (2, "all words here are unique tokens"),
+            (3, "x"),  # shorter than n -> 0.0
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (round(r["dup"], 6), round(r["top"], 6))
+        for r in df.select(
+            "doc_id",
+            T.dup_ngram_fraction("text", 2).alias("dup"),
+            T.top_word_fraction("text").alias("top"),
+        ).collect()
+    }
+    assert got[1] == (round(1 - 2 / 5, 6), 0.5)  # 'a' is 3 of 6 words
+    assert got[2] == (0.0, round(1 / 6, 6))
+    assert got[3] == (0.0, 1.0)
+
+
+def test_hash_stratified_sample(spark):
+    from ontograph_spark.functions.sampling import hash_stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(200)],
+        "doc_id long, source string",
+    )
+    all_a = hash_stratified_sample(df, {"a": 1.0}).collect()
+    assert {r["source"] for r in all_a} == {"a"}  # missing stratum dropped
+    assert len(all_a) == 100  # rate 1.0 keeps the whole stratum
+
+    small = {r["doc_id"] for r in hash_stratified_sample(df, {"a": 0.2, "b": 0.2}).collect()}
+    big = {r["doc_id"] for r in hash_stratified_sample(df, {"a": 0.6, "b": 0.6}).collect()}
+    assert small <= big  # raising a rate only ever ADDS rows
+    # rate roughly respected (60-bit hash is uniform; wide tolerance)
+    assert 10 <= len(small) <= 70
+    # determinism across invocations
+    again = {r["doc_id"] for r in hash_stratified_sample(df, {"a": 0.2, "b": 0.2}).collect()}
+    assert small == again
+
+
+def test_pack_sequences(spark):
+    from ontograph_spark.functions.sampling import pack_sequences
+
+    rows = [(i, "s", 40) for i in range(10)]  # 10 docs x 40 tokens, 1 bucket
+    df = spark.createDataFrame(rows, "doc_id long, source string, ntok long")
+    got = {
+        r["doc_id"]: (r["bucket"], r["pack_offset"], r["pack_id"])
+        for r in pack_sequences(
+            df, tokens_col="ntok", budget=100, buckets=1
+        ).collect()
+    }
+    # offsets 0,40,80,120,... -> packs 0,0,0,1,1,2,2,2,3,3
+    assert [got[i][1] for i in range(10)] == [40 * i for i in range(10)]
+    assert [got[i][2] for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+    # bucketed variant: groups are (source, doc_id % 2), offsets restart
+    by_bucket = {
+        (r["bucket"], r["doc_id"]): r["pack_offset"]
+        for r in pack_sequences(
+            df, tokens_col="ntok", budget=100, buckets=2
+        ).collect()
+    }
+    assert by_bucket[(0, 0)] == 0 and by_bucket[(1, 1)] == 0
+    assert by_bucket[(0, 2)] == 40 and by_bucket[(1, 3)] == 40

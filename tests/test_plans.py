@@ -149,3 +149,30 @@ def test_ntriples_round_trip(spark, tmp_path, pstore):
     got = {(r["subj"], r["pred"], r["obj"]) for r in back.collect()}
     want = {(r["subj"], r["pred"], r["obj"]) for r in pstore.df().collect()}
     assert got == want
+
+
+def test_stratified_sample_is_shuffle_free_filter(spark, tmp_path):
+    from ontograph_spark.functions.sampling import hash_stratified_sample
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"src{i % 3}", "t") for i in range(30)],
+        "doc_id long, source string, text string",
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = plan_of(hash_stratified_sample(df, {"src0": 0.5, "src1": 0.2}))
+    assert "Exchange" not in plan  # one codegen filter, zero shuffles
+    assert "*(1) Filter" in plan  # the * marks whole-stage codegen
+
+
+def test_pack_sequences_single_bounded_shuffle(spark):
+    from ontograph_spark.functions.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}", 10 + i) for i in range(60)],
+        "doc_id long, source string, ntok long",
+    )
+    plan = plan_of(pack_sequences(df, tokens_col="ntok", budget=64, buckets=4))
+    assert plan.count("Exchange") == 1  # one hash shuffle feeds the window
+    part = plan.split("hashpartitioning(")[1].split(")")[0]
+    assert "source" in part and "bucket" in part  # keyed by (stratum, bucket)
