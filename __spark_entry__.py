@@ -748,6 +748,99 @@ FROM o
 """
 
 
+def q_docs_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by smoothed TF-IDF
+    (functions/corpus.py:tfidf_top_terms): explode → map-side-combined
+    (doc, term) counts → one term-keyed shuffle for document frequency +
+    self-join → broadcast one-row corpus size → per-doc top-k window.
+    Score is milli-scaled to a bigint so ranking and the driver hash are
+    integer-exact across engines."""
+    from ontograph_spark.functions.corpus import tfidf_top_terms
+
+    docs = _read(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)
+
+
+def _docs_tfidf_sql() -> str:
+    from ontograph_spark.functions.corpus import DEFAULT_STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in DEFAULT_STOPWORDS)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, u.t AS term
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE len(u.t) >= 3 AND u.t NOT IN ({stop})
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         CAST(round(tf.tf * (ln((n.n_docs + 1.0) / (dfq.df + 1.0)) + 1.0)
+              * 1000) AS BIGINT) AS tfidf_milli
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, tfidf_milli,
+         CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY tfidf_milli DESC, term ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf_milli, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def q_docs_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix report per (source, lang)
+    (functions/corpus.py:source_composition): one map-side-combined
+    aggregate over the small stratum key plus a broadcast one-row total.
+    The report data-mixing rates are chosen from."""
+    from ontograph_spark.functions.corpus import source_composition
+
+    docs = _read(spark, sf_dir, "documents")
+    return source_composition(docs)
+
+
+_SQL_DOCS_SOURCE_MIX = """
+WITH s AS (
+  SELECT source, lang,
+         count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(min(n_chars) AS BIGINT) AS min_chars,
+         CAST(max(n_chars) AS BIGINT) AS max_chars
+  FROM documents GROUP BY source, lang
+),
+n AS (SELECT count(*) AS total_docs FROM documents)
+SELECT source, lang, n_docs, total_chars, min_chars, max_chars,
+       CAST(round(total_chars / CAST(n_docs AS DOUBLE) * 1000) AS BIGINT)
+         AS mean_chars_milli,
+       CAST(round(n_docs / CAST(total_docs AS DOUBLE) * 1000000) AS BIGINT)
+         AS share_micro
+FROM s CROSS JOIN n
+"""
+
+
+def q_docs_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact length percentiles, centi-scaled
+    (functions/corpus.py:length_quantiles). The contract entry uses the
+    exact path (DuckDB quantile_cont twin, same linear interpolation);
+    the 100 TB default is approx=True (mergeable t-digest-style sketch,
+    O(1) memory per group)."""
+    from ontograph_spark.functions.corpus import length_quantiles
+
+    docs = _read(spark, sf_dir, "documents")
+    return length_quantiles(docs)
+
+
+_SQL_DOCS_LENGTH_QUANTILES = """
+SELECT lang, count(*) AS n_docs,
+       CAST(round(quantile_cont(n_chars, 0.1) * 100) AS BIGINT) AS p10_centi,
+       CAST(round(quantile_cont(n_chars, 0.5) * 100) AS BIGINT) AS p50_centi,
+       CAST(round(quantile_cont(n_chars, 0.9) * 100) AS BIGINT) AS p90_centi
+FROM documents GROUP BY lang
+"""
+
+
 def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs n-gram Jaccard (t=0.5) — bitmap-verification path.
 
@@ -1287,6 +1380,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": q_docs_repetition,
         "docs_sample": q_docs_sample,
         "docs_pack": q_docs_pack,
+        "docs_tfidf": q_docs_tfidf,
+        "docs_source_mix": q_docs_source_mix,
+        "docs_length_quantiles": q_docs_length_quantiles,
         "docs_dedup_keep": q_docs_dedup_keep,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
@@ -1330,6 +1426,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_repetition": _SQL_DOCS_REPETITION,
         "docs_sample": _docs_sample_sql(),
         "docs_pack": _SQL_DOCS_PACK,
+        "docs_tfidf": _docs_tfidf_sql(),
+        "docs_source_mix": _SQL_DOCS_SOURCE_MIX,
+        "docs_length_quantiles": _SQL_DOCS_LENGTH_QUANTILES,
         "docs_dedup_keep": _SQL_DOCS_DEDUP_KEEP,
         "emb_lsh_topk": _lsh_topk_sql(),
         "emb_ivf_topk": _SQL_EMB_IVF_TOPK,

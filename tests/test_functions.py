@@ -566,3 +566,75 @@ def test_pack_sequences(spark):
     }
     assert by_bucket[(0, 0)] == 0 and by_bucket[(1, 1)] == 0
     assert by_bucket[(0, 2)] == 40 and by_bucket[(1, 3)] == 40
+
+
+def test_tfidf_top_terms(spark):
+    from math import log
+
+    from ontograph_spark.functions.corpus import tfidf_top_terms
+
+    rows = [
+        (0, "apple banana apple cherry"),
+        (1, "banana cherry cherry cherry"),
+        (2, "apple durian"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["df"], r["tfidf_milli"], r["rank"])
+        for r in tfidf_top_terms(df, k=2, min_token_len=3).collect()
+    }
+
+    def milli(tf, dfreq, n=3):
+        return round(tf * (log((n + 1.0) / (dfreq + 1.0)) + 1.0) * 1000)
+
+    # doc 1: cherry tf=3 df=2 beats banana tf=1 df=2
+    assert got[(1, "cherry")] == (3, 2, milli(3, 2), 1)
+    assert got[(1, "banana")] == (1, 2, milli(1, 2), 2)
+    # doc 2: durian (df=1) outranks apple (df=2) at equal tf
+    assert got[(2, "durian")][3] == 1 and got[(2, "apple")][3] == 2
+    # k=2 per doc, never more
+    assert all(rank <= 2 for (_, _, _, rank) in got.values())
+    # doc 0: apple tf=2 ranks first
+    assert got[(0, "apple")] == (2, 2, milli(2, 2), 1)
+
+
+def test_source_composition(spark):
+    from ontograph_spark.functions.corpus import source_composition
+
+    rows = [
+        ("web", "en", 100),
+        ("web", "en", 300),
+        ("web", "de", 50),
+        ("code", "en", 1000),
+    ]
+    df = spark.createDataFrame(rows, "source string, lang string, n_chars long")
+    got = {
+        (r["source"], r["lang"]): r
+        for r in source_composition(df).collect()
+    }
+    web_en = got[("web", "en")]
+    assert (web_en["n_docs"], web_en["total_chars"]) == (2, 400)
+    assert (web_en["min_chars"], web_en["max_chars"]) == (100, 300)
+    assert web_en["mean_chars_milli"] == 200000
+    assert web_en["share_micro"] == 500000  # 2 of 4 docs
+    assert got[("code", "en")]["share_micro"] == 250000
+
+
+def test_length_quantiles(spark):
+    from ontograph_spark.functions.corpus import length_quantiles
+
+    rows = [("en", v) for v in (10, 20, 30, 40, 50)] + [("de", 7)]
+    df = spark.createDataFrame(rows, "lang string, n_chars long")
+    got = {r["lang"]: r for r in length_quantiles(df).collect()}
+    # en: sorted [10..50], p10 = 10 + 0.4*(20-10) = 14, p50 = 30, p90 = 46
+    assert got["en"]["n_docs"] == 5
+    assert got["en"]["p10_centi"] == 1400
+    assert got["en"]["p50_centi"] == 3000
+    assert got["en"]["p90_centi"] == 4600
+    # single-value group: every quantile is that value
+    assert (got["de"]["p10_centi"], got["de"]["p90_centi"]) == (700, 700)
+    # approx path agrees on the median for this tiny input
+    approx = {
+        r["lang"]: r for r in length_quantiles(df, approx=True).collect()
+    }
+    assert approx["en"]["p50_centi"] == 3000
