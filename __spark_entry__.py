@@ -1339,6 +1339,151 @@ SELECT pred, CAST(n AS BIGINT) AS n FROM (VALUES
 """
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (functions/temporal.py:asof_join): each purchase event
+    gets the latest click at-or-before it by the same user — union-sweep
+    window, one key-hash shuffle, no range explosion. Gap is exact
+    microseconds (bigint) so the driver hash is integer-exact."""
+    from ontograph_spark.functions.temporal import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    # right side made distinct per (user, ts) — argmax by event_id —
+    # so the as-of sweep is deterministic under ties
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    j = asof_join(
+        purchases, clicks, on="user_id", ts_col="ts", value_cols=("click_id",)
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        # left-outer as-of: purchases with no prior click carry a -1
+        # sentinel (kept total so the driver's typed value hash never
+        # sees engine-specific null orderings)
+        F.coalesce(F.col("click_id_right"), F.lit(-1))
+        .cast("bigint")
+        .alias("click_id"),
+        # timestampdiff is NTZ-safe (unix_micros rejects TIMESTAMP_NTZ)
+        # and timezone-free, matching DuckDB's datediff('microsecond')
+        F.coalesce(
+            F.expr("timestampdiff(MICROSECOND, ts_right, ts)"), F.lit(-1)
+        )
+        .cast("bigint")
+        .alias("gap_micros"),
+    )
+
+
+_SQL_EVENTS_ASOF = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id,
+       CAST(coalesce(r.click_id, -1) AS BIGINT) AS click_id,
+       CAST(coalesce(datediff('microsecond', r.ts, l.ts), -1) AS BIGINT)
+         AS gap_micros
+FROM purchases l
+ASOF LEFT JOIN clicks r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+#: range-join window for the events_range contract query (7 days)
+_RANGE_WINDOW_S = 604_800
+
+
+def q_events_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (functions/temporal.py:range_join): per error event,
+    the number of clicks by the same user in the preceding 7 days
+    (inclusive both ends). Bucketed candidate join — each left row
+    probes exactly 2 (key, bin) buckets; no per-key cross product."""
+    from ontograph_spark.functions.temporal import range_join
+
+    ev = _read(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    pairs = range_join(
+        errors, clicks, on="user_id", ts_col="ts",
+        window_seconds=_RANGE_WINDOW_S,
+    )
+    counts = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks")
+    )
+    return errors.join(counts, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("n_clicks"), F.lit(0)).cast("bigint").alias("n_clicks"),
+    )
+
+
+_SQL_EVENTS_RANGE = f"""
+WITH errors AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+clicks AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+),
+c AS (
+  SELECT e.event_id, count(*) AS n_clicks
+  FROM errors e JOIN clicks k
+    ON e.user_id = k.user_id
+   AND k.ts <= e.ts
+   AND k.ts >= e.ts - INTERVAL '{_RANGE_WINDOW_S} seconds'
+  GROUP BY e.event_id
+)
+SELECT e.event_id, e.user_id, CAST(coalesce(c.n_clicks, 0) AS BIGINT) AS n_clicks
+FROM errors e LEFT JOIN c USING (event_id)
+"""
+
+
+def q_kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG profile report (functions/graph_algo.py:predicate_degrees):
+    per-predicate triple count and distinct subject/object
+    cardinalities — the skew map a query planner wants."""
+    from ontograph_spark.functions.graph_algo import predicate_degrees
+
+    return predicate_degrees(quads_df(spark, sf_dir))
+
+
+_SQL_KG_DEGREES = f"""{_W}
+SELECT pred, count(*) AS n_triples,
+       count(DISTINCT subj) AS n_subjects,
+       count(DISTINCT obj) AS n_objects
+FROM quads GROUP BY pred
+"""
+
+
+#: pagerank contract subgraph: the entity-link edges of the derived KG
+_PR_PREDS = (f"<{G}#inNation>", f"<{G}#locatedIn>")
+
+
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration integer-scaled PageRank over the
+    customer→nation→region link graph (functions/graph_algo.py:pagerank)
+    — 3 unrolled iterations, each one equi-join + one map-side-combined
+    sum on the node key; integer arithmetic makes the result
+    bit-deterministic across engines and partitionings."""
+    from ontograph_spark.functions.graph_algo import pagerank
+
+    return pagerank(quads_df(spark, sf_dir), edge_preds=_PR_PREDS, iterations=3)
+
+
+def _kg_pagerank_sql() -> str:
+    from ontograph_spark.functions.graph_algo import pagerank_sql_cte
+
+    return f"{_W},\n{pagerank_sql_cte(_PR_PREDS, iterations=3)}\nSELECT node, rank_micro FROM pr_final"
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -1384,6 +1529,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_source_mix": q_docs_source_mix,
         "docs_length_quantiles": q_docs_length_quantiles,
         "docs_dedup_keep": q_docs_dedup_keep,
+        "events_asof": q_events_asof,
+        "events_range": q_events_range,
+        "kg_degrees": q_kg_degrees,
+        "kg_pagerank": q_kg_pagerank,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "multimodal_features": q_multimodal_features,
@@ -1430,6 +1579,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_source_mix": _SQL_DOCS_SOURCE_MIX,
         "docs_length_quantiles": _SQL_DOCS_LENGTH_QUANTILES,
         "docs_dedup_keep": _SQL_DOCS_DEDUP_KEEP,
+        "events_asof": _SQL_EVENTS_ASOF,
+        "events_range": _SQL_EVENTS_RANGE,
+        "kg_degrees": _SQL_KG_DEGREES,
+        "kg_pagerank": _kg_pagerank_sql(),
         "emb_lsh_topk": _lsh_topk_sql(),
         "emb_ivf_topk": _SQL_EMB_IVF_TOPK,
         "emb_near_dup": _emb_near_dup_sql(),

@@ -1,0 +1,135 @@
+"""Distributed graph analytics over the quad table.
+
+Two analysis operators a KG owner runs on the materialized graph
+(reference scope ends at storage/query — these are the Spark-native
+analytics the brief's "beyond the reference" clause asks for):
+
+* :func:`predicate_degrees` — per-predicate triple count + distinct
+  subject/object cardinalities: the KG profile report (which predicates
+  are hot, which are functional, where join skew will come from).
+* :func:`pagerank` — fixed-iteration PageRank over an edge predicate
+  subset, in **integer (micro-scaled) arithmetic** so the result is
+  bit-deterministic across engines and across partitionings: float
+  summation order can differ between runs/engines, integer summation
+  cannot. Dangling-node mass is dropped (documented variant — the
+  deterministic choice; re-injecting it needs a global scalar per
+  iteration, which is one extra broadcast if ever needed).
+
+100 TB shape of :func:`pagerank`: each iteration is one equi-join of
+the rank table with the edge table on ``src`` plus one map-side-combined
+``sum`` by ``dst`` — both hash-partitioned on the node key, so Catalyst
+reuses one exchange layout across all iterations; AQE skew-join splits
+hub nodes (every KG has rdf:type-like hubs). Iterations are unrolled
+into one plan (k is small); nothing is collected to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: damping factor as an exact fraction (85/100) — integer arithmetic only
+DAMP_NUM, DAMP_DEN = 17, 20
+BASE_MICRO = 1_000_000
+
+
+def predicate_degrees(quads: DataFrame) -> DataFrame:
+    """Per-predicate profile: triples, distinct subjects, distinct
+    objects. One aggregate; distinct counts are exact (shuffle by
+    pred is safe — predicate vocabulary is small; the heavy lifting
+    is the partial aggregation before the exchange)."""
+    return quads.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("subj").alias("n_subjects"),
+        F.countDistinct("obj").alias("n_objects"),
+    )
+
+
+def pagerank(
+    quads: DataFrame,
+    *,
+    edge_preds: tuple[str, ...],
+    iterations: int = 3,
+) -> DataFrame:
+    """Integer-scaled PageRank over the subgraph of ``edge_preds``.
+
+    rank_0 = 1e6 (micro) for every node; each iteration:
+
+        contrib(e) = floor(rank(src) / outdeg(src))   per out-edge
+        rank'(n)   = floor(0.15 * 1e6) + floor(0.85 * sum(contrib in))
+
+    floor() on integers in both engines → bit-identical results
+    regardless of aggregation order. Returns (node, rank_micro).
+    """
+    edges = (
+        quads.where(F.col("pred").isin(*edge_preds))
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.withColumn("rank_micro", F.lit(BASE_MICRO).cast("bigint"))
+    base = (BASE_MICRO * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN  # 0.15 * 1e6
+    for _ in range(iterations):
+        contribs = (
+            ranks.join(outdeg, ranks["node"] == outdeg["src"])
+            .join(edges, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.floor(F.col("rank_micro") / F.col("outdeg")).alias("c"),
+            )
+        )
+        inflow = contribs.groupBy("node").agg(F.sum("c").alias("inflow"))
+        ranks = (
+            nodes.join(inflow, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.floor(
+                        F.coalesce(F.col("inflow"), F.lit(0))
+                        * DAMP_NUM
+                        / DAMP_DEN
+                    )
+                ).cast("bigint").alias("rank_micro"),
+            )
+        )
+    return ranks
+
+
+def pagerank_sql_cte(
+    edge_preds: tuple[str, ...],
+    iterations: int = 3,
+) -> str:
+    """DuckDB twin of :func:`pagerank` as a CTE chain ending in a
+    ``pr_final(node, rank_micro)`` relation. Assumes a ``quads`` CTE is
+    already in scope. The iteration is unrolled to mirror the Spark
+    plan exactly (same integer ops, same dangling-mass variant)."""
+    preds = ", ".join(f"'{p}'" for p in edge_preds)
+    base = (BASE_MICRO * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
+    parts = [
+        f"edges AS (SELECT DISTINCT subj AS src, obj AS dst FROM quads WHERE pred IN ({preds}))",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        f"pr0 AS (SELECT node, CAST({BASE_MICRO} AS BIGINT) AS rank_micro FROM nodes)",
+    ]
+    prev = "pr0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"in{i} AS (SELECT e.dst AS node, "
+            f"sum(CAST(floor(p.rank_micro / o.outdeg) AS BIGINT)) AS inflow "
+            f"FROM {prev} p JOIN outdeg o ON p.node = o.src "
+            f"JOIN edges e ON e.src = o.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"pr{i} AS (SELECT n.node, CAST({base} + "
+            f"floor(coalesce(i.inflow, 0) * {DAMP_NUM} / {DAMP_DEN}) AS BIGINT) "
+            f"AS rank_micro FROM nodes n LEFT JOIN in{i} i ON n.node = i.node)"
+        )
+        prev = f"pr{i}"
+    parts.append(f"pr_final AS (SELECT node, rank_micro FROM {prev})")
+    return ",\n".join(parts)
