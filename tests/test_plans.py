@@ -176,3 +176,49 @@ def test_pack_sequences_single_bounded_shuffle(spark):
     assert plan.count("Exchange") == 1  # one hash shuffle feeds the window
     part = plan.split("hashpartitioning(")[1].split(")")[0]
     assert "source" in part and "bucket" in part  # keyed by (stratum, bucket)
+
+
+def test_asof_join_is_single_window_sweep(spark):
+    from datetime import datetime
+
+    from ontograph_spark.functions.temporal import asof_join
+
+    t = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, 1, t)], "event_id long, user_id long, ts timestamp_ntz"
+    )
+    right = spark.createDataFrame(
+        [(1, t, 2)], "user_id long, ts timestamp_ntz, click_id long"
+    )
+    plan = plan_of(
+        asof_join(left, right, on="user_id", ts_col="ts", value_cols=("click_id",))
+    )
+    # no join operator at all: the as-of is union + ONE key-hash window
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 1  # the window's key-hash shuffle
+
+
+def test_range_join_is_bucketed_equi_join(spark, tmp_path):
+    from datetime import datetime
+
+    from ontograph_spark.functions.temporal import range_join
+
+    t = datetime(2024, 1, 1)
+    p = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(i, i % 3, t, "error" if i % 2 else "click") for i in range(20)],
+        "event_id long, user_id long, ts timestamp_ntz, event_type string",
+    ).write.parquet(p)
+    ev = spark.read.parquet(p)
+    left = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    plan = plan_of(
+        range_join(left, right, on="user_id", ts_col="ts", window_seconds=60)
+    )
+    # equi-join on (key, bin) — hash-joinable, never a nested loop over
+    # the inequality predicate; type filter pushed to the parquet scan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "PushedFilters" in plan and "EqualTo(event_type," in plan
