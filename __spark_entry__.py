@@ -1339,6 +1339,46 @@ SELECT pred, CAST(n AS BIGINT) AS n FROM (VALUES
 """
 
 
+def q_docs_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation filter-funnel report (functions/corpus.py:filter_funnel):
+    every document attributed to the first rule it fails, counted in ONE
+    map-side-combined aggregate — not one pass per rule."""
+    from ontograph_spark.functions.corpus import filter_funnel
+
+    docs = _read(spark, sf_dir, "documents")
+    rules = [
+        ("too_short", F.col("n_chars") >= 200),
+        ("too_long", F.col("n_chars") <= 20000),
+        ("bad_lang", F.col("lang").isin("en", "de", "fr")),
+        (
+            "low_alpha",
+            F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+            * 2
+            >= F.length(F.col("text")),
+        ),
+    ]
+    return filter_funnel(docs, rules)
+
+
+_SQL_DOCS_FUNNEL = """
+WITH attributed AS (
+  SELECT CASE
+    WHEN NOT (n_chars >= 200) THEN 'too_short'
+    WHEN NOT (n_chars <= 20000) THEN 'too_long'
+    WHEN NOT (lang IN ('en', 'de', 'fr')) THEN 'bad_lang'
+    WHEN NOT (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 2
+              >= length(text)) THEN 'low_alpha'
+    ELSE 'kept' END AS rule
+  FROM documents
+)
+SELECT CAST(CASE rule WHEN 'too_short' THEN 1 WHEN 'too_long' THEN 2
+            WHEN 'bad_lang' THEN 3 WHEN 'low_alpha' THEN 4
+            ELSE 0 END AS BIGINT) AS stage,
+       rule, count(*) AS n
+FROM attributed GROUP BY rule
+"""
+
+
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (functions/temporal.py:asof_join): each purchase event
     gets the latest click at-or-before it by the same user — union-sweep
@@ -1529,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_source_mix": q_docs_source_mix,
         "docs_length_quantiles": q_docs_length_quantiles,
         "docs_dedup_keep": q_docs_dedup_keep,
+        "docs_funnel": q_docs_funnel,
         "events_asof": q_events_asof,
         "events_range": q_events_range,
         "kg_degrees": q_kg_degrees,
@@ -1579,6 +1620,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_source_mix": _SQL_DOCS_SOURCE_MIX,
         "docs_length_quantiles": _SQL_DOCS_LENGTH_QUANTILES,
         "docs_dedup_keep": _SQL_DOCS_DEDUP_KEEP,
+        "docs_funnel": _SQL_DOCS_FUNNEL,
         "events_asof": _SQL_EVENTS_ASOF,
         "events_range": _SQL_EVENTS_RANGE,
         "kg_degrees": _SQL_KG_DEGREES,

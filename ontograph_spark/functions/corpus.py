@@ -177,3 +177,41 @@ def length_quantiles(
     return docs.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"), *aggs
     )
+
+
+def filter_funnel(
+    docs: DataFrame,
+    rules: Sequence[tuple[str, "F.Column"]],
+    *,
+    keep_label: str = "kept",
+) -> DataFrame:
+    """Single-pass filter-funnel report: each row is attributed to the
+    FIRST rule it fails (rules in order), or ``keep_label`` if it passes
+    all. Returns (stage, rule, n) — the per-rule drop counts a curation
+    run reports alongside its output.
+
+    100 TB shape: the attribution is one CASE expression evaluated in
+    the scan projection and ONE map-side-combined aggregate over a
+    rule-cardinality key — never one pass (or one filter job) per rule.
+    The actual filtered corpus is ``docs.where(every rule condition)``,
+    which Catalyst folds into the same scan when both are consumed.
+    """
+    first_fail = F.coalesce(
+        *[F.when(~cond, F.lit(name)) for name, cond in rules],
+        F.lit(keep_label),
+    )
+    stage = {name: i + 1 for i, (name, _) in enumerate(rules)}
+    stage[keep_label] = 0
+    stage_col = F.create_map(
+        *[F.lit(x) for kv in stage.items() for x in kv]
+    )
+    return (
+        docs.select(first_fail.alias("rule"))
+        .groupBy("rule")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            stage_col[F.col("rule")].cast("bigint").alias("stage"),
+            "rule",
+            "n",
+        )
+    )

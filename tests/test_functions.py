@@ -638,3 +638,33 @@ def test_length_quantiles(spark):
         r["lang"]: r for r in length_quantiles(df, approx=True).collect()
     }
     assert approx["en"]["p50_centi"] == 3000
+
+
+def test_filter_funnel(spark):
+    from pyspark.sql import functions as F
+
+    from ontograph_spark.functions.corpus import filter_funnel
+
+    rows = [
+        (0, 50, "en"),    # fails rule 1 (too_short)
+        (1, 500, "xx"),   # passes 1, fails 2 (bad_lang)
+        (2, 40, "xx"),    # fails BOTH -> attributed to FIRST (too_short)
+        (3, 500, "en"),   # passes all
+        (4, 600, "de"),   # passes all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long, lang string")
+    out = {
+        r["rule"]: (r["stage"], r["n"])
+        for r in filter_funnel(
+            df,
+            [
+                ("too_short", F.col("n_chars") >= 100),
+                ("bad_lang", F.col("lang").isin("en", "de")),
+            ],
+        ).collect()
+    }
+    assert out == {
+        "too_short": (1, 2),  # doc 0 and doc 2 (first-fail attribution)
+        "bad_lang": (2, 1),
+        "kept": (0, 2),
+    }
