@@ -1524,6 +1524,43 @@ def _kg_pagerank_sql() -> str:
     return f"{_W},\n{pagerank_sql_cte(_PR_PREDS, iterations=3)}\nSELECT node, rank_micro FROM pr_final"
 
 
+def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the entity-link subgraph
+    (pipeline/canon.py:connected_components — the same iterative
+    min-label propagation that canonicalizes ``owl:sameAs`` aliases in
+    construction, reference ontology_individual.go:58-64 emits those
+    edges). Distributed shape: O(diameter) rounds, each one equi-join
+    on the node key + a map-side-combined ``min`` aggregate; lineage is
+    truncated per round with ``localCheckpoint``, nothing is collected.
+    The oracle recomputes the same (node → min reachable node) fixpoint
+    as a DuckDB recursive-CTE transitive closure — exact, but only
+    feasible at oracle scale (closure is Σ component_size² rows)."""
+    from ontograph_spark.pipeline.canon import connected_components
+
+    q = quads_df(spark, sf_dir)
+    edges = q.where(
+        F.col("pred").isin(f"<{G}#inNation>", f"<{G}#locatedIn>")
+    ).select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    return connected_components(edges)
+
+
+_SQL_KG_COMPONENTS = f"""{_W.replace("WITH ", "WITH RECURSIVE ", 1)},
+e AS (
+  SELECT subj AS src, obj AS dst FROM quads
+  WHERE pred IN ('<{G}#inNation>', '<{G}#locatedIn>')
+),
+und AS (
+  SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e
+),
+reach AS (
+  SELECT src AS node, src AS r FROM und
+  UNION
+  SELECT reach.node, und.dst AS r FROM reach JOIN und ON reach.r = und.src
+)
+SELECT node, min(r) AS component FROM reach GROUP BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -1574,6 +1611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range": q_events_range,
         "kg_degrees": q_kg_degrees,
         "kg_pagerank": q_kg_pagerank,
+        "kg_components": q_kg_components,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "multimodal_features": q_multimodal_features,
@@ -1625,6 +1663,7 @@ def oracle_sql() -> dict[str, str]:
         "events_range": _SQL_EVENTS_RANGE,
         "kg_degrees": _SQL_KG_DEGREES,
         "kg_pagerank": _kg_pagerank_sql(),
+        "kg_components": _SQL_KG_COMPONENTS,
         "emb_lsh_topk": _lsh_topk_sql(),
         "emb_ivf_topk": _SQL_EMB_IVF_TOPK,
         "emb_near_dup": _emb_near_dup_sql(),
