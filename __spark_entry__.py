@@ -820,6 +820,68 @@ FROM s CROSS JOIN n
 """
 
 
+def q_docs_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical corpus totals (functions/corpus.py:source_rollup):
+    ROLLUP(source, lang) → leaf rows + per-source subtotals + grand
+    total in ONE shuffle (grouping sets expand map-side; the hierarchy
+    is not a re-aggregation of the leaf output)."""
+    from ontograph_spark.functions.corpus import source_rollup
+
+    return source_rollup(_read(spark, sf_dir, "documents"))
+
+
+_SQL_DOCS_ROLLUP = """
+SELECT source, lang,
+       CAST(GROUPING(source, lang) AS BIGINT) AS level,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY ROLLUP(source, lang)
+"""
+
+
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-window frame aggregate: hourly event counts per type plus
+    a trailing 3-hour moving average (ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW). Two-level shape: a map-side-combined groupBy collapses
+    the raw events to (type, hour) — tiny — and only that aggregate is
+    windowed, so the sort inside each partition is over hours, not
+    events. avg is emitted as round(sum/n*1000) over exact integers so
+    the value is bit-stable across engines."""
+    ev = _read(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        F.round(F.sum("n").over(w) / F.count(F.lit(1)).over(w) * 1000)
+        .cast("bigint")
+        .alias("avg_3h_milli"),
+    )
+
+
+_SQL_EVENTS_MOVING_AVG = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+)
+SELECT event_type, hour, n,
+       CAST(round(
+         CAST(sum(n) OVER w AS BIGINT)
+         / CAST(count(*) OVER w AS DOUBLE) * 1000) AS BIGINT)
+         AS avg_3h_milli
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY hour
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_docs_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language exact length percentiles, centi-scaled
     (functions/corpus.py:length_quantiles). The contract entry uses the
@@ -1612,6 +1674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degrees": q_kg_degrees,
         "kg_pagerank": q_kg_pagerank,
         "kg_components": q_kg_components,
+        "docs_rollup": q_docs_rollup,
+        "events_moving_avg": q_events_moving_avg,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "multimodal_features": q_multimodal_features,
@@ -1664,6 +1728,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_degrees": _SQL_KG_DEGREES,
         "kg_pagerank": _kg_pagerank_sql(),
         "kg_components": _SQL_KG_COMPONENTS,
+        "docs_rollup": _SQL_DOCS_ROLLUP,
+        "events_moving_avg": _SQL_EVENTS_MOVING_AVG,
         "emb_lsh_topk": _lsh_topk_sql(),
         "emb_ivf_topk": _SQL_EMB_IVF_TOPK,
         "emb_near_dup": _emb_near_dup_sql(),

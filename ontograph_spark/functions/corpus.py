@@ -144,6 +144,34 @@ def source_composition(
     )
 
 
+def source_rollup(
+    docs: DataFrame,
+    *,
+    stratum_cols: Sequence[str] = ("source", "lang"),
+    char_col: str = "n_chars",
+) -> DataFrame:
+    """Hierarchical corpus totals via ``ROLLUP(source, lang)``: one row
+    per (source, lang), per source subtotal, and a grand total, tagged
+    with the standard ``grouping_id`` bitmask so consumers can tell the
+    levels apart (subtotal rows carry NULL in the rolled-up columns).
+
+    100 TB shape: grouping sets compile to ONE shuffle — Spark expands
+    the rollup levels map-side (each input row feeds every level's
+    partial aggregate before the exchange), so the hierarchy costs the
+    same single pass as the leaf groupBy. Never materialize the leaf
+    aggregate and re-aggregate it client-side.
+    """
+    return (
+        docs.rollup(*stratum_cols)
+        .agg(
+            F.grouping_id().cast("bigint").alias("level"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(char_col).cast("bigint").alias("total_chars"),
+        )
+        .select(*stratum_cols, "level", "n_docs", "total_chars")
+    )
+
+
 def length_quantiles(
     docs: DataFrame,
     *,
