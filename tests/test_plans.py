@@ -222,3 +222,43 @@ def test_range_join_is_bucketed_equi_join(spark, tmp_path):
     # the inequality predicate; type filter pushed to the parquet scan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "PushedFilters" in plan and "EqualTo(event_type," in plan
+
+
+def test_rollup_is_expand_plus_one_shuffle(spark):
+    from ontograph_spark.functions.corpus import source_rollup
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", f"l{i % 2}", 10 + i) for i in range(30)],
+        "doc_id long, source string, lang string, n_chars long",
+    )
+    plan = plan_of(source_rollup(df))
+    # grouping sets expand map-side: every rollup level feeds the SAME
+    # partial aggregate before one exchange — never a per-level re-agg
+    assert "Expand" in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_moving_avg_windows_the_aggregate_not_the_events(spark):
+    from datetime import datetime
+
+    import __spark_entry__ as entrymod
+
+    # the window's sort must run over the (type, hour) aggregate — the
+    # plan orders Aggregate below Window, and the window frame never
+    # touches the raw event rows
+    t = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, i % 3, t, "click", 0.5, "{}") for i in range(20)],
+        "event_id long, user_id long, ts timestamp_ntz, event_type string,"
+        " value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = entrymod.q_events_moving_avg(spark, d)
+        plan = plan_of(out)
+    window_pos = plan.index("Window")
+    agg_pos = plan.rindex("HashAggregate")
+    assert agg_pos > window_pos  # aggregate is the window's child
+    assert plan.count("Window") == 1
