@@ -983,6 +983,49 @@ LEFT JOIN canon c ON c.id = d.doc_id
 """
 
 
+def q_docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-span signal (exact-substring dedup at
+    word-8-gram granularity, Lee et al. 2022): per doc, distinct 8-gram
+    count, how many of those 8-grams occur in ≥2 docs, and the milli
+    dup-fraction. Grams are interned to the cross-engine 60-bit md5 ids
+    (functions/dedup.py:h60) so the DuckDB oracle recomputes identical
+    keys; document frequency is one map-side-combining groupBy and the
+    join back is a left-semi against only the duplicated-gram subset."""
+    from ontograph_spark.functions.dedup import cross_doc_span_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return cross_doc_span_stats(docs, "doc_id", "text", n=8).select(
+        F.col("id").alias("doc_id"), "n_grams", "n_dup_grams", "dup_milli"
+    )
+
+
+_SQL_DOCS_DUP_SPANS = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substring(md5(g || ':0'), 1, 15))::BIGINT AS gh
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(t)-8+2),
+           i -> array_to_string(t[i:i+8-1], ' '))) AS g FROM toks
+  )
+),
+hot AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+dup AS (SELECT doc_id, count(*) AS n_dup FROM grams JOIN hot USING (gh) GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(t.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(u.n_dup, 0) AS BIGINT) AS n_dup_grams,
+       CAST(CASE WHEN COALESCE(t.n_grams, 0) > 0
+            THEN round((1000.0 * COALESCE(u.n_dup, 0)) / t.n_grams)
+            ELSE 0 END AS BIGINT) AS dup_milli
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN dup u USING (doc_id)
+"""
+
+
 _SQL_DOCS_NGRAM_JACCARD = r"""
 WITH nrm AS (
   SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
@@ -1668,6 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_source_mix": q_docs_source_mix,
         "docs_length_quantiles": q_docs_length_quantiles,
         "docs_dedup_keep": q_docs_dedup_keep,
+        "docs_dup_spans": q_docs_dup_spans,
         "docs_funnel": q_docs_funnel,
         "events_asof": q_events_asof,
         "events_range": q_events_range,
@@ -1722,6 +1766,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_source_mix": _SQL_DOCS_SOURCE_MIX,
         "docs_length_quantiles": _SQL_DOCS_LENGTH_QUANTILES,
         "docs_dedup_keep": _SQL_DOCS_DEDUP_KEEP,
+        "docs_dup_spans": _SQL_DOCS_DUP_SPANS,
         "docs_funnel": _SQL_DOCS_FUNNEL,
         "events_asof": _SQL_EVENTS_ASOF,
         "events_range": _SQL_EVENTS_RANGE,

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ontograph_spark.functions.text import shingles
+from ontograph_spark.functions.text import shingles, word_ngrams
 
 
 def exact_duplicate_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -542,6 +542,68 @@ def ngram_jaccard_exact_pairs(
             df, id_col, text_col, shingle_k, threshold, bitmap_max_vocab
         )
     return ngram_jaccard_index_pairs(df, id_col, text_col, shingle_k, threshold)
+
+
+def cross_doc_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicate-span signal (the exact-substring dedup
+    statistic of "Deduplicating Training Data Makes Language Models
+    Better", Lee et al. 2022, at word-``n``-gram granularity): per
+    document, how many of its distinct word ``n``-grams also occur in at
+    least ``min_docs - 1`` OTHER documents.
+
+    Output: ``(id, n_grams, n_dup_grams, dup_milli)`` for EVERY input
+    row — ``n_grams`` = distinct word n-grams in the doc (0 for docs
+    shorter than ``n`` words), ``n_dup_grams`` = how many of those are
+    cross-doc duplicated, ``dup_milli`` = round(1000 · dup fraction).
+    A corpus pass drops or trims documents above a dup_milli cutoff.
+
+    100 TB plan shape: per-document distinctness happens INSIDE the row
+    (``array_distinct`` before the explode — no pre-shuffle), n-grams are
+    interned to cross-engine 60-bit ids (:func:`h60` — 8-byte shuffle
+    keys instead of ~50-byte strings; the DuckDB oracle recomputes the
+    identical ids via :func:`h60_sql`), the document-frequency aggregate
+    is one map-side-combining groupBy, and the join back is a left-semi
+    against only the DUPLICATED gram subset — a small fraction of the
+    gram table on real corpora. Two shuffles total (gram DF + per-doc
+    recount); no driver-side state.
+    """
+    grams = _fanout(df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("g"),
+    ).select("id", h60(F.col("g"), 0).alias("gh"))
+    # (id, gh) rows are distinct by construction, so count(*) per gh = the
+    # gram's document frequency
+    hot = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("gh")
+    )
+    dup = (
+        grams.join(hot, "gh", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    )
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.array_distinct(word_ngrams(text_col, n))).cast("long").alias("n_grams"),
+    )
+    out = totals.join(dup, "id", "left").select(
+        "id",
+        "n_grams",
+        F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+    )
+    dup_milli = F.when(
+        F.col("n_grams") > 0,
+        F.round(F.lit(1000.0) * F.col("n_dup_grams") / F.col("n_grams")),
+    ).otherwise(F.lit(0))
+    return out.withColumn("dup_milli", dup_milli.cast("long"))
 
 
 def simhash64_df(

@@ -443,6 +443,45 @@ def test_near_dup_keep_distributed_path_matches(spark, docs_df):
     assert sorted(map(tuple, small)) == sorted(map(tuple, large))
 
 
+def test_cross_doc_span_stats(spark):
+    """Pinned against a pure-Python recount of the same definition:
+    distinct word n-grams per doc, duplicated = present in ≥2 docs."""
+    from ontograph_spark.functions.dedup import cross_doc_span_stats
+
+    rows = [
+        (0, "a b c d e f"),      # grams (n=3): abc bcd cde def
+        (1, "a b c d x y"),      # shares 'a b c' and 'b c d' with doc 0
+        (2, "p q r s"),          # no overlap with anyone
+        (3, "a b"),              # too short: zero grams
+        (4, "a b c d e f"),      # exact dup of doc 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def grams(t, n=3):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    freq: dict = {}
+    for _, t in rows:
+        for g in grams(t):
+            freq[g] = freq.get(g, 0) + 1
+    want = {}
+    for i, t in rows:
+        gs = grams(t)
+        dup = sum(1 for g in gs if freq[g] >= 2)
+        milli = round(1000.0 * dup / len(gs)) if gs else 0
+        want[i] = (len(gs), dup, milli)
+
+    got = {
+        r["id"]: (r["n_grams"], r["n_dup_grams"], r["dup_milli"])
+        for r in cross_doc_span_stats(df, "doc_id", "text", n=3).collect()
+    }
+    assert got == want
+    assert got[3] == (0, 0, 0)          # short doc present with zeros
+    assert got[0] == got[4]             # exact dups fully flagged
+    assert got[0][2] == 1000
+
+
 def test_word_ngrams_and_contamination_pairs(spark):
     docs = spark.createDataFrame(
         [

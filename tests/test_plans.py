@@ -262,3 +262,26 @@ def test_moving_avg_windows_the_aggregate_not_the_events(spark):
     agg_pos = plan.rindex("HashAggregate")
     assert agg_pos > window_pos  # aggregate is the window's child
     assert plan.count("Window") == 1
+
+
+def test_cross_doc_span_stats_semi_join_and_no_driver_action(spark, tmp_path):
+    """The dup-gram join back must be a LEFT SEMI (never materializes the
+    hot-gram rows per doc), and building the plan must not run any job
+    (no driver-side pre-scan)."""
+    from ontograph_spark.functions.dedup import cross_doc_span_stats
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "w%d x y z a b c d e f" % (i % 2)) for i in range(20)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    out = cross_doc_span_stats(df, "doc_id", "text", n=3)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before  # plan construction runs zero jobs
+    plan = plan_of(out)
+    assert "LeftSemi" in plan
+    # document-frequency aggregate keeps a map-side partial phase
+    assert "partial_count" in plan
