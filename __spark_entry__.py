@@ -1103,6 +1103,78 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed k-means over the embedding corpus
+    (k=8, two Lloyd refinements of the stride-sampled seeds), reported
+    as a per-cluster summary. Assignment is the zero-shuffle
+    packed-broadcast cosine argmax; means are sorted sequential folds,
+    so the oracle replays the identical iterations bit-for-bit
+    (functions/similarity.py:kmeans_assign)."""
+    from ontograph_spark.functions.similarity import kmeans_assign
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return (
+        kmeans_assign(emb, k=8, iters=2)
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("id").cast("bigint").alias("min_vec_id"),
+        )
+    )
+
+
+def _emb_kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    """Oracle twin of kmeans_assign + the per-cluster rollup: the same
+    seed stride, the same argmax (row_number over sim DESC, cid), the
+    same member-id-ordered sequential-fold means, repeated ``iters``
+    times."""
+    stride = max(1, 997 // k)
+
+    def assign(cents: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_cos_sql('v.e', 'c.cv')} DESC, c.cid
+           ) AS rn
+    FROM v CROSS JOIN {cents} c
+  ) WHERE rn = 1
+)"""
+
+    def mean(assigned: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT cid, list(x ORDER BY pos) AS cv FROM (
+    SELECT cid, pos,
+           list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b) / count(*) AS x
+    FROM (
+      SELECT cid, vec_id, generate_subscripts(e, 1) AS pos, unnest(e) AS x
+      FROM {assigned}
+    ) GROUP BY cid, pos
+  ) GROUP BY cid
+)"""
+
+    ctes = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"""seeds AS (
+  SELECT vec_id AS cid, e AS cv FROM v
+  WHERE vec_id % {stride} = 0 ORDER BY vec_id LIMIT {k}
+)""",
+    ]
+    cents = "seeds"
+    for i in range(iters):
+        ctes.append(assign(cents, f"a{i}"))
+        ctes.append(mean(f"a{i}", f"cent{i}"))
+        cents = f"cent{i}"
+    ctes.append(assign(cents, "final"))
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT cid, CAST(count(*) AS BIGINT) AS n_members,\n"
+        "       CAST(min(vec_id) AS BIGINT) AS min_vec_id\n"
+        "FROM final GROUP BY cid"
+    )
+
+
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN top-k: deterministic seeds + one Lloyd
     step, queries probe the 4 nearest of 16 cells."""
@@ -1722,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_avg": q_events_moving_avg,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
+        "emb_kmeans": q_emb_kmeans,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "docs_minhash_pairs": q_docs_minhash_pairs,
@@ -1777,6 +1850,7 @@ def oracle_sql() -> dict[str, str]:
         "events_moving_avg": _SQL_EVENTS_MOVING_AVG,
         "emb_lsh_topk": _lsh_topk_sql(),
         "emb_ivf_topk": _SQL_EMB_IVF_TOPK,
+        "emb_kmeans": _emb_kmeans_sql(),
         "emb_near_dup": _emb_near_dup_sql(),
         "docs_minhash_pairs": _minhash_pairs_sql(),
         "docs_simhash_pairs": _simhash_pairs_sql(),

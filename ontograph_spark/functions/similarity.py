@@ -177,6 +177,87 @@ def lsh_topk(
     )
 
 
+def _assign_cells(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """(neighbor_id, nv, cid): nearest-centroid assignment via the
+    packed-broadcast argmax — zero shuffle of the vector stream."""
+    return (
+        v.crossJoin(F.broadcast(_cells_array(cents)))
+        .withColumn("cid", _nearest_cid(F.col("nv"), F.col("cells")))
+        .select("neighbor_id", "nv", "cid")
+    )
+
+
+def _seed_centroids(v: DataFrame, k: int, stride: int | None = None) -> DataFrame:
+    """Deterministic seed set: vectors with ``id % stride == 0``, capped
+    at ``k`` in id order (limit alone isn't deterministic). The default
+    stride targets the ~1k-id bench corpus; pass ``stride`` explicitly
+    for other id ranges."""
+    return (
+        v.withColumn("_m", F.col("neighbor_id") % F.lit(stride or max(1, 997 // k)))
+        .where(F.col("_m") == 0)
+        .orderBy("neighbor_id")
+        .limit(k)
+        .select(F.col("neighbor_id").alias("cid"), F.col("nv").alias("cv"))
+    )
+
+
+def _lloyd_mean(assigned: DataFrame) -> DataFrame:
+    """(cid, cv): element-wise centroid means via a *sequential* fold in
+    member-id order — a plain avg() sums partials in partition order,
+    which is not bit-deterministic run to run; sorted-fold means are, so
+    results are reproducible and cross-engine checkable. Empty cells
+    drop out (GROUP BY semantics, same in the SQL oracle)."""
+    member_mean = (
+        F.aggregate(
+            F.transform("xs", lambda s: s["x"]),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        / F.size("xs")
+    )
+    return (
+        assigned.select("neighbor_id", "cid", F.posexplode("nv").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.array_sort(F.collect_list(F.struct("neighbor_id", "x"))).alias("xs"))
+        .select("cid", "pos", member_mean.alias("x"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "x"))).alias("px"))
+        .select("cid", F.transform("px", lambda s: s["x"]).alias("cv"))
+    )
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_stride: int | None = None,
+) -> DataFrame:
+    """Deterministic distributed k-means: ``(id, cid)`` after ``iters``
+    Lloyd refinements of the stride-sampled seed set. Every step is
+    DataFrame algebra: assignment is the zero-shuffle packed-broadcast
+    argmax (n×k cosine folds inside one projection — no row expansion),
+    the mean is one (cid, pos) hash aggregate with map-side combine, and
+    centroids stay a broadcast-sized table (k rows) throughout. Cosine
+    argmax with ties to the lowest cid + sorted-fold means make the
+    result bit-deterministic and cross-engine checkable (the DuckDB
+    oracle replays the identical iterations).
+
+    At 100 TB the vector stream is never shuffled — each iteration is
+    one scan + one k×dim-row aggregate; for many iterations checkpoint
+    the (tiny) centroid table between rounds to keep plans bounded."""
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("nv")
+    )
+    cents = _seed_centroids(v, k, seed_stride)
+    for _ in range(iters):
+        cents = _lloyd_mean(_assign_cells(v, cents))
+    return _assign_cells(v, cents).select(
+        F.col("neighbor_id").alias("id"), "cid"
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -195,46 +276,11 @@ def ivf_topk(
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("nv")
     )
-    seeds = (
-        v.withColumn("_m", F.col("neighbor_id") % F.lit(max(1, 997 // nlist)))
-        .where(F.col("_m") == 0)
-        .orderBy("neighbor_id")  # deterministic seed set (limit alone isn't)
-        .limit(nlist)
-        .select(F.col("neighbor_id").alias("cid"), F.col("nv").alias("cv"))
-    )
+    seeds = _seed_centroids(v, nlist)
     # one Lloyd refinement: assign (zero-shuffle packed-array argmax),
-    # then mean per cell (element-wise)
-    assigned = (
-        v.crossJoin(F.broadcast(_cells_array(seeds)))
-        .withColumn("cid", _nearest_cid(F.col("nv"), F.col("cells")))
-        .select("neighbor_id", "nv", "cid")
-    )
-    # Element-wise centroid means via a *sequential* fold in member-id
-    # order: a plain avg() sums partials in partition order, which is not
-    # bit-deterministic run to run; sorted-fold means are, so IVF results
-    # are reproducible and cross-engine checkable.
-    member_mean = (
-        F.aggregate(
-            F.transform("xs", lambda s: s["x"]),
-            F.lit(0.0).cast("double"),
-            lambda acc, x: acc + x,
-        )
-        / F.size("xs")
-    )
-    centroids = F.broadcast(
-        assigned.select("neighbor_id", "cid", F.posexplode("nv").alias("pos", "x"))
-        .groupBy("cid", "pos")
-        .agg(F.array_sort(F.collect_list(F.struct("neighbor_id", "x"))).alias("xs"))
-        .select("cid", "pos", member_mean.alias("x"))
-        .groupBy("cid")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "x"))).alias("px"))
-        .select("cid", F.transform("px", lambda s: s["x"]).alias("cv"))
-    )
-    cells = (
-        v.crossJoin(F.broadcast(_cells_array(centroids)))
-        .withColumn("cid", _nearest_cid(F.col("nv"), F.col("cells")))
-        .select("neighbor_id", "nv", "cid")
-    )
+    # then element-wise sorted-fold mean per cell
+    centroids = F.broadcast(_lloyd_mean(_assign_cells(v, seeds)))
+    cells = _assign_cells(v, centroids)
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")

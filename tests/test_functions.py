@@ -361,6 +361,45 @@ def test_ivf_topk_recall(spark, vectors_df):
     assert len(hits) >= 2, (got, truth[0])
 
 
+def test_kmeans_assign_vs_numpy(spark, vectors_df):
+    """Replays the exact algorithm in numpy: stride seeds, cosine argmax
+    with ties to the lowest cid, member-id-ordered mean, iters rounds."""
+    from ontograph_spark.functions.similarity import kmeans_assign
+
+    k, iters = 4, 2
+    rows = sorted((r["vec_id"], list(r["embedding"])) for r in vectors_df.collect())
+    ids = [i for i, _ in rows]
+    mat = np.array([v for _, v in rows], dtype=np.float64)
+
+    def cos(a, b):
+        return (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    stride = 7  # fixture ids are 0..39; the default targets ~1k-id corpora
+    cents = [(i, mat[ids.index(i)]) for i in ids if i % stride == 0][:k]
+
+    def assign(cents):
+        out = {}
+        for idx, i in enumerate(ids):
+            best = max(cents, key=lambda c: (cos(mat[idx], c[1]), -c[0]))
+            out[i] = best[0]
+        return out
+
+    for _ in range(iters):
+        a = assign(cents)
+        cents = [
+            (cid, np.mean([mat[ids.index(i)] for i in ids if a[i] == cid], axis=0))
+            for cid in sorted({v for v in a.values()})
+        ]
+    want = assign(cents)
+
+    got = {
+        r["id"]: r["cid"]
+        for r in kmeans_assign(vectors_df, k=k, iters=iters, seed_stride=7).collect()
+    }
+    assert got == want
+    assert len(set(got.values())) > 1  # clusters actually separate
+
+
 def test_embedding_near_dup_pairs(spark, vectors_df):
     pairs = {
         (r["id_a"], r["id_b"])
