@@ -14,6 +14,10 @@ manifests in pipeline/materialize.py. These streaming operators are the
 * :func:`hourly_event_rollup` — watermarked windowed aggregation over an
   event stream (late data tolerated up to the watermark), the streaming
   twin of the batch ``events_hourly`` query in ``__spark_entry__``.
+* :func:`stream_exact_dedup` — streaming exact deduplication: content
+  fingerprints are dropped as duplicates within the watermark horizon
+  (``dropDuplicatesWithinWatermark``), so state stays bounded while a
+  continuously-ingested corpus is deduped on the fly.
 * :func:`stream_user_sessions` — a CUSTOM STATEFUL operator
   (``applyInPandasWithState``): per-user sessionization whose state (last
   event time, running session/event counts) survives micro-batch
@@ -88,6 +92,34 @@ def hourly_event_rollup(
             "n",
             "sum_value_cents",
         )
+    )
+
+
+def stream_exact_dedup(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup on the content fingerprint (md5 of the
+    whitespace-normalized, lowercased text — functions/text.py): emit
+    each fingerprint's first arrival, drop re-arrivals within the
+    watermark horizon.
+
+    State discipline at scale: ``dropDuplicatesWithinWatermark`` keeps
+    one fixed-width state row per fingerprint and EVICTS it once the
+    watermark passes — unbounded-corpus safe, unlike a plain streaming
+    ``dropDuplicates`` whose state grows forever. The key is the 32-hex
+    digest, not the document text, so state rows stay small and the
+    pre-shuffle projection is one whole-stage-codegen md5."""
+    from ontograph_spark.functions.text import fingerprint
+
+    return (
+        docs_stream.withColumn("_fp", fingerprint(text_col))
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp")
     )
 
 

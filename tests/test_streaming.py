@@ -104,6 +104,55 @@ def test_stateful_sessions_match_batch_across_microbatches(spark, tmp_path):
     assert got == want
 
 
+def test_stream_exact_dedup_across_microbatches(spark, tmp_path):
+    """Exact streaming dedup: duplicates arriving in a LATER micro-batch
+    (within the watermark) are dropped — the fingerprint set of the
+    streamed output equals the batch-distinct set, and re-arrivals don't
+    re-emit."""
+    import time as _time
+
+    from ontograph_spark.functions.text import fingerprint
+    from ontograph_spark.streaming.stream_ingest import stream_exact_dedup
+
+    rows1 = [(0, "alpha beta gamma", "2024-01-01 10:00:00"),
+             (1, "delta epsilon", "2024-01-01 10:01:00"),
+             (2, "alpha  beta   GAMMA", "2024-01-01 10:02:00")]  # dup of 0
+    rows2 = [(3, "alpha beta gamma", "2024-01-01 10:10:00"),      # dup of 0
+             (4, "zeta eta", "2024-01-01 10:11:00"),
+             (5, "delta epsilon", "2024-01-01 10:12:00")]         # dup of 1
+    schema = "doc_id long, text string, ts string"
+    src = str(tmp_path / "docs_stream")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src)
+    _time.sleep(1.1)  # distinct mtimes → deterministic file order
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = (
+        stream_exact_dedup(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dedup_test")
+    got_fps = [r[0] for r in got.select(fingerprint("text")).collect()]
+    assert sorted(got_fps) == sorted(set(got_fps))  # no fingerprint twice
+    batch_fps = {
+        r[0]
+        for r in spark.read.parquet(src).select(fingerprint("text")).collect()
+    }
+    assert set(got_fps) == batch_fps  # every distinct content survived
+    # 3 distinct contents: docs 0/2/3 normalize identically, 1/5 likewise
+    assert got.count() == 3
+
+
 def test_stream_construct_merges_into_store(spark, tmp_path):
     src = str(tmp_path / "repo_rows")
     synthesize_repo_table(spark, 80, partitions=2).write.parquet(src)
