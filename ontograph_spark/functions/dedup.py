@@ -1,6 +1,6 @@
 """Deduplication operators for training-data pipelines.
 
-Four families, each picked for a different scale/recall trade-off:
+Five families, each picked for a different scale/recall trade-off:
 
 * **exact** — hash-groupBy on content digest; one shuffle, exact.
 * **MinHash + LSH** — shingle → k minhashes → band buckets → candidate
@@ -11,6 +11,8 @@ Four families, each picked for a different scale/recall trade-off:
   within a Hamming radius, found by banding the 64 bits into chunks.
 * **n-gram Jaccard** — exact Jaccard on shingle sets for candidate pairs
   (array_intersect/array_union sizes — JVM-side).
+* **cross-doc duplicate spans** — per-document counts of word n-grams
+  shared with other documents (the exact-substring dedup signal).
 
 Everything is DataFrame algebra over built-ins (xxhash64, explode,
 groupBy, equi-joins) — no Python in any hot path. Embedding-cosine
