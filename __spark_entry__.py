@@ -903,6 +903,34 @@ FROM documents GROUP BY lang
 """
 
 
+def q_docs_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 token table with cumulative corpus coverage — the
+    vocabulary-design statistic. Distributed TakeOrdered top-k (no
+    global sort), broadcast one-row total, window over only the 50
+    survivors (functions/corpus.py:vocab_coverage)."""
+    from ontograph_spark.functions.corpus import vocab_coverage
+
+    docs = _read(spark, sf_dir, "documents")
+    return vocab_coverage(docs, top_n=50)
+
+
+_SQL_DOCS_VOCAB_COVERAGE = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w FROM documents
+),
+counts AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+total AS (SELECT sum(n) AS total FROM counts),
+top AS (SELECT w, n FROM counts ORDER BY n DESC, w LIMIT 50)
+SELECT row_number() OVER (ORDER BY n DESC, w) AS rank,
+       w AS word,
+       n,
+       CAST(round((1000.0 * sum(n) OVER (ORDER BY n DESC, w
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) / total)
+            AS BIGINT) AS cum_milli
+FROM top, total
+"""
+
+
 def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs n-gram Jaccard (t=0.5) — bitmap-verification path.
 
@@ -1784,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_length_quantiles": q_docs_length_quantiles,
         "docs_dedup_keep": q_docs_dedup_keep,
         "docs_dup_spans": q_docs_dup_spans,
+        "docs_vocab_coverage": q_docs_vocab_coverage,
         "docs_funnel": q_docs_funnel,
         "events_asof": q_events_asof,
         "events_range": q_events_range,
@@ -1840,6 +1869,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_length_quantiles": _SQL_DOCS_LENGTH_QUANTILES,
         "docs_dedup_keep": _SQL_DOCS_DEDUP_KEEP,
         "docs_dup_spans": _SQL_DOCS_DUP_SPANS,
+        "docs_vocab_coverage": _SQL_DOCS_VOCAB_COVERAGE,
         "docs_funnel": _SQL_DOCS_FUNNEL,
         "events_asof": _SQL_EVENTS_ASOF,
         "events_range": _SQL_EVENTS_RANGE,

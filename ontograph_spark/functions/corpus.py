@@ -11,6 +11,9 @@ mixing:
   decisions are made from.
 * :func:`length_quantiles` — per-group exact length percentiles, the
   signal behind length-based filtering thresholds.
+* :func:`vocab_coverage` — the top-``n`` token table with cumulative
+  corpus coverage: the statistic tokenizer/vocabulary design reads
+  (how much of the corpus the k most frequent words already cover).
 
 All three are pure DataFrame algebra (no Python UDFs) with exact DuckDB
 twins in the driver contract. Float outputs are integer-scaled
@@ -37,6 +40,46 @@ DEFAULT_STOPWORDS: tuple[str, ...] = (
     "why", "been", "being", "does", "did", "also", "more", "most",
     "some", "such", "only", "other", "these", "those", "each", "any",
 )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    top_n: int = 50,
+) -> DataFrame:
+    """Top-``top_n`` whitespace tokens (lowercased) with counts and
+    cumulative corpus coverage: ``(rank, word, n, cum_milli)`` where
+    ``cum_milli`` = round(1000 · running-total / all-token-count).
+    Ordering is total (count desc, word asc), so ranks and the running
+    sum are deterministic.
+
+    100 TB shape: one map-side-combining groupBy builds the word-count
+    table; the top-n is ``orderBy().limit()`` — Spark's distributed
+    TakeOrdered (per-partition heaps + driver merge of n·P rows), never
+    a global sort; the total token count joins in as a broadcast one-row
+    aggregate; the running sum windows over only the ``top_n`` surviving
+    rows. No collect, no vocabulary broadcast."""
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w")
+    )
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    top = counts.orderBy(F.col("n").desc(), F.col("w").asc()).limit(top_n)
+    w = Window.orderBy(F.col("n").desc(), F.col("w").asc())
+    return (
+        top.join(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_milli",
+            F.round(
+                F.lit(1000.0)
+                * F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                / F.col("total")
+            ).cast("bigint"),
+        )
+        .select("rank", F.col("w").alias("word"), "n", "cum_milli")
+    )
 
 
 def tfidf_top_terms(

@@ -676,6 +676,45 @@ def test_tfidf_top_terms(spark):
     assert got[(0, "apple")] == (2, 2, milli(2, 2), 1)
 
 
+def test_vocab_coverage(spark):
+    from ontograph_spark.functions.corpus import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(0, "a a a b b c"), (1, "a b  d"), (2, "A c")],
+        ["doc_id", "text"],
+    )
+    # counts: a=5 (lowercased), b=3, c=2, d=1; total=11
+    got = [
+        (r["rank"], r["word"], r["n"], r["cum_milli"])
+        for r in vocab_coverage(docs, top_n=3).orderBy("rank").collect()
+    ]
+    assert got == [
+        (1, "a", 5, round(1000 * 5 / 11)),
+        (2, "b", 3, round(1000 * 8 / 11)),
+        (3, "c", 2, round(1000 * 10 / 11)),
+    ]
+
+
+def test_jsonl_round_trip(spark, tmp_path):
+    from ontograph_spark.sources.jsonl import (
+        jsonl_ingest_invariant,
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = str(tmp_path / "docs_jsonl")
+    write_documents_jsonl(src, p, partitions=2)
+    back = read_documents_jsonl(spark, p)
+    assert back.schema == src.schema
+    a = jsonl_ingest_invariant(src).collect()[0]
+    b = jsonl_ingest_invariant(back).collect()[0]
+    assert (a["n_rows"], a["content_digest_sum"]) == (
+        b["n_rows"],
+        b["content_digest_sum"],
+    )
+
+
 def test_source_composition(spark):
     from ontograph_spark.functions.corpus import source_composition
 
