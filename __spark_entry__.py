@@ -1729,6 +1729,39 @@ def _kg_pagerank_sql() -> str:
     return f"{_W},\n{pagerank_sql_cte(_PR_PREDS, iterations=3)}\nSELECT node, rank_micro FROM pr_final"
 
 
+def q_kg_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop BFS from the Region entities over the reversed link
+    edges (region ← nation ← customer/supplier): every entity within 2
+    hops with its minimum hop count. One equi-join + left-anti per hop,
+    unrolled (functions/graph_algo.py:k_hop_reachability)."""
+    from ontograph_spark.functions.graph_algo import k_hop_reachability
+
+    quads = quads_df(spark, sf_dir)
+    sources = (
+        quads.where(
+            (F.col("pred") == RDF_TYPE) & (F.col("obj") == f"<{G}#Region>")
+        )
+        .select(F.col("subj").alias("node"))
+        .distinct()
+    )
+    return k_hop_reachability(
+        quads, sources, edge_preds=_PR_PREDS, k=2, reverse=True
+    )
+
+
+def _kg_reachability_sql() -> str:
+    from ontograph_spark.functions.graph_algo import k_hop_sql_cte
+
+    srcs = (
+        "SELECT DISTINCT subj AS node FROM quads "
+        f"WHERE pred = '{RDF_TYPE}' AND obj = '<{G}#Region>'"
+    )
+    return (
+        f"{_W},\n{k_hop_sql_cte(_PR_PREDS, srcs, k=2, reverse=True)}\n"
+        "SELECT node, hops FROM reach_final"
+    )
+
+
 def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the entity-link subgraph
     (pipeline/canon.py:connected_components — the same iterative
@@ -1818,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range": q_events_range,
         "kg_degrees": q_kg_degrees,
         "kg_pagerank": q_kg_pagerank,
+        "kg_reachability": q_kg_reachability,
         "kg_components": q_kg_components,
         "docs_rollup": q_docs_rollup,
         "events_moving_avg": q_events_moving_avg,
@@ -1875,6 +1909,7 @@ def oracle_sql() -> dict[str, str]:
         "events_range": _SQL_EVENTS_RANGE,
         "kg_degrees": _SQL_KG_DEGREES,
         "kg_pagerank": _kg_pagerank_sql(),
+        "kg_reachability": _kg_reachability_sql(),
         "kg_components": _SQL_KG_COMPONENTS,
         "docs_rollup": _SQL_DOCS_ROLLUP,
         "events_moving_avg": _SQL_EVENTS_MOVING_AVG,

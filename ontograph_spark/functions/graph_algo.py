@@ -101,6 +101,80 @@ def pagerank(
     return ranks
 
 
+def k_hop_reachability(
+    quads: DataFrame,
+    sources: DataFrame,
+    *,
+    edge_preds: tuple[str, ...],
+    k: int = 3,
+    reverse: bool = False,
+) -> DataFrame:
+    """Min-hop BFS: every node reachable from ``sources`` (a one-column
+    ``node`` DataFrame) within ``k`` hops over the ``edge_preds``
+    subgraph, with the minimum hop count — ``(node, hops)``, sources at
+    hop 0. ``reverse=True`` walks edges object→subject (e.g. from a
+    region out to everything that links into it).
+
+    100 TB shape: the frontier expansion is one equi-join per hop
+    (frontier × edges on the node key) plus a left-anti against the
+    visited set — all hash joins on one key, unrolled into a single plan
+    (k is small); per-hop ``distinct`` keeps the frontier a set, so hub
+    fan-in never re-expands. Nothing is collected to the driver."""
+    edges = (
+        quads.where(F.col("pred").isin(*edge_preds))
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+    )
+    if reverse:
+        edges = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    visited = sources.select("node", F.lit(0).alias("hops"))
+    frontier = visited.select("node")
+    for h in range(1, k + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+        )
+        visited = visited.unionByName(nxt.select("node", F.lit(h).alias("hops")))
+        frontier = nxt
+    return visited
+
+
+def k_hop_sql_cte(
+    edge_preds: tuple[str, ...],
+    sources_sql: str,
+    k: int = 3,
+    reverse: bool = False,
+) -> str:
+    """DuckDB twin of :func:`k_hop_reachability` as a CTE chain ending
+    in ``reach_final(node, hops)``. ``sources_sql`` is a relation
+    yielding one ``node`` column; assumes a ``quads`` CTE in scope. The
+    hop loop is unrolled to mirror the Spark plan exactly."""
+    preds = ", ".join(f"'{p}'" for p in edge_preds)
+    src, dst = ("obj", "subj") if reverse else ("subj", "obj")
+    parts = [
+        f"kedges AS (SELECT DISTINCT {src} AS src, {dst} AS dst "
+        f"FROM quads WHERE pred IN ({preds}))",
+        f"v0 AS (SELECT node, 0 AS hops FROM ({sources_sql}))",
+        "f0 AS (SELECT node FROM v0)",
+    ]
+    prev_v, prev_f = "v0", "f0"
+    for h in range(1, k + 1):
+        parts.append(
+            f"f{h} AS (SELECT DISTINCT e.dst AS node FROM {prev_f} f "
+            f"JOIN kedges e ON e.src = f.node "
+            f"WHERE e.dst NOT IN (SELECT node FROM {prev_v}))"
+        )
+        parts.append(
+            f"v{h} AS (SELECT node, hops FROM {prev_v} "
+            f"UNION ALL SELECT node, {h} AS hops FROM f{h})"
+        )
+        prev_v, prev_f = f"v{h}", f"f{h}"
+    parts.append(f"reach_final AS (SELECT node, hops FROM {prev_v})")
+    return ",\n".join(parts)
+
+
 def pagerank_sql_cte(
     edge_preds: tuple[str, ...],
     iterations: int = 3,

@@ -163,3 +163,54 @@ def test_pagerank_integer_golden(spark):
     # dangling c received b's full mass; sources a,d sit at base
     assert got["<a>"] == base and got["<d>"] == base
     assert got["<b>"] > base and got["<c>"] > base
+
+
+def test_k_hop_reachability(spark):
+    from ontograph_spark.functions.graph_algo import k_hop_reachability
+
+    quads = spark.createDataFrame(
+        _QUADS, "subj string, pred string, obj string, graph string"
+    )
+    sources = spark.createDataFrame([("<a>",)], ["node"])
+    got = {
+        r["node"]: r["hops"]
+        for r in k_hop_reachability(
+            quads, sources, edge_preds=("<p#link>",), k=3
+        ).collect()
+    }
+    # a -> b (1) -> c (2); d unreachable forward from a
+    assert got == {"<a>": 0, "<b>": 1, "<c>": 2}
+
+    rev = {
+        r["node"]: r["hops"]
+        for r in k_hop_reachability(
+            quads,
+            spark.createDataFrame([("<c>",)], ["node"]),
+            edge_preds=("<p#link>",),
+            k=3,
+            reverse=True,
+        ).collect()
+    }
+    # c <- b (1) <- a (2), b <- d so d at hop 2 as well
+    assert rev == {"<c>": 0, "<b>": 1, "<a>": 2, "<d>": 2}
+
+
+def test_k_hop_respects_k_and_min_hops(spark):
+    from ontograph_spark.functions.graph_algo import k_hop_reachability
+
+    # diamond with a shortcut: s->a->b->t and s->t ; min hops for t is 1
+    rows = [
+        ("<s>", "<p#e>", "<a>", "<g>"),
+        ("<a>", "<p#e>", "<b>", "<g>"),
+        ("<b>", "<p#e>", "<t>", "<g>"),
+        ("<s>", "<p#e>", "<t>", "<g>"),
+    ]
+    quads = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string"
+    )
+    src = spark.createDataFrame([("<s>",)], ["node"])
+    got = {
+        r["node"]: r["hops"]
+        for r in k_hop_reachability(quads, src, edge_preds=("<p#e>",), k=1).collect()
+    }
+    assert got == {"<s>": 0, "<a>": 1, "<t>": 1}  # k=1 stops; t via shortcut
