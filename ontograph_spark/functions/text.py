@@ -136,13 +136,27 @@ def dup_ngram_fraction(c: Column | str, n: int = 3) -> Column:
     that are repeats of an earlier n-gram in the same document
     (1 - distinct/total; 0.0 for docs shorter than ``n`` words).
     The Gopher-style rep filter a pretraining corpus pass drops
-    boilerplate/spam on. Pure Column array exprs — per-row, no shuffle."""
+    boilerplate/spam on. Pure Column array exprs — per-row, no shuffle.
+
+    The gram array is BOUND ONCE via a single-element ``transform``
+    lambda: referencing ``word_ngrams(...)`` from both ``size`` and
+    ``array_distinct`` re-evaluates the whole gram build per reference
+    (codegen does no cross-expression CSE for array-valued
+    subexpressions — measured 7.7 s vs 2.8 s for the full corpus pass
+    at sf0.1)."""
     g = word_ngrams(c, n)
-    total = F.size(g)
-    return F.when(
-        total > 0,
-        F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / total.cast("double"),
-    ).otherwise(F.lit(0.0))
+    return F.element_at(
+        F.transform(
+            F.array(g),
+            lambda arr: F.when(
+                F.size(arr) > 0,
+                F.lit(1.0)
+                - F.size(F.array_distinct(arr)).cast("double")
+                / F.size(arr).cast("double"),
+            ).otherwise(F.lit(0.0)),
+        ),
+        1,
+    )
 
 
 def top_word_fraction(c: Column | str) -> Column:
