@@ -285,3 +285,45 @@ def test_cross_doc_span_stats_semi_join_and_no_driver_action(spark, tmp_path):
     assert "LeftSemi" in plan
     # document-frequency aggregate keeps a map-side partial phase
     assert "partial_count" in plan
+
+
+def test_vocab_coverage_uses_distributed_takeordered(spark):
+    """The top-n must be TakeOrderedAndProject (per-partition heaps +
+    driver merge), never a global sort of the vocabulary."""
+    from ontograph_spark.functions.corpus import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d") for i in range(10)], ["doc_id", "text"]
+    )
+    plan = plan_of(vocab_coverage(docs, top_n=5))
+    assert "TakeOrderedAndProject" in plan
+    # the only Sort is the post-limit window over the n surviving rows
+    assert plan.count("Sort") <= 1
+
+
+def test_kmeans_assign_is_broadcast_only(spark):
+    """Assignment must never shuffle the vector stream: centroids move
+    as broadcasts, and no sort-merge join appears at any iteration."""
+    from ontograph_spark.functions.similarity import kmeans_assign
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(12)], ["vec_id", "embedding"]
+    )
+    plan = plan_of(kmeans_assign(vecs, k=3, iters=1, seed_stride=4))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastExchange") >= 1
+
+
+def test_k_hop_reachability_stays_hash_joined(spark):
+    """Every BFS hop must be an equi hash join — no nested-loop or
+    cartesian fallback at any unrolled depth."""
+    from ontograph_spark.functions.graph_algo import k_hop_reachability
+
+    quads = spark.createDataFrame(
+        [("<a>", "<p>", "<b>", "<g>"), ("<b>", "<p>", "<c>", "<g>")],
+        "subj string, pred string, obj string, graph string",
+    )
+    src = spark.createDataFrame([("<a>",)], ["node"])
+    plan = plan_of(k_hop_reachability(quads, src, edge_preds=("<p>",), k=2))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
