@@ -608,6 +608,10 @@ def q_docs_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     hygiene pass."""
     docs = _read(spark, sf_dir, "documents")
     seeded = docs.select("doc_id", _pii_seeded_text().alias("t"))
+    # both redact_pii references compile to ONE evaluation: codegen
+    # subexpression elimination handles plain (lambda-free) expression
+    # trees — measured identical walls for a hand-bound variant. (Only
+    # higher-order-function trees miss CSE; see dup_ngram_fraction.)
     return seeded.select(
         "doc_id",
         T.pii_count("t").cast("bigint").alias("pii_hits"),

@@ -51,13 +51,16 @@ def write_documents_jsonl(
 
 def jsonl_ingest_invariant(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-row ingest check for a JSONL load: row count plus an
-    order-insensitive content digest (xor-ish via sum of per-row sha2
-    prefixes) — cheap to recompute on both sides of a format hop to
-    verify nothing was dropped or mangled in transit."""
+    order-insensitive content digest (XOR of per-row sha2 prefixes —
+    commutative, and unlike a sum it cannot overflow, which matters
+    under ANSI mode at any corpus size) — cheap to recompute on both
+    sides of a format hop to verify nothing was dropped or mangled in
+    transit. Duplicate-PAIR insensitivity is inherent to XOR; the row
+    count catches even-multiplicity drops."""
     digest = F.conv(F.substring(F.sha2(F.col(text_col), 256), 1, 15), 16, 10).cast(
         "long"
     )
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(digest).alias("content_digest_sum"),
+        F.bit_xor(digest).alias("content_digest_xor"),
     )

@@ -709,10 +709,11 @@ def test_jsonl_round_trip(spark, tmp_path):
     assert back.schema == src.schema
     a = jsonl_ingest_invariant(src).collect()[0]
     b = jsonl_ingest_invariant(back).collect()[0]
-    assert (a["n_rows"], a["content_digest_sum"]) == (
+    assert (a["n_rows"], a["content_digest_xor"]) == (
         b["n_rows"],
-        b["content_digest_sum"],
+        b["content_digest_xor"],
     )
+    assert a["n_rows"] > 0 and a["content_digest_xor"] != 0
 
 
 def test_source_composition(spark):
