@@ -1804,6 +1804,99 @@ SELECT node, min(r) AS component FROM reach GROUP BY node
 
 
 # ---------------------------------------------------------------------------
+# SPARQL answering (ontograph_spark/query/sparql.py) — the reference can
+# only SEND SPARQL to Blazegraph (blazegraph_store.go:40-53); these entries
+# ANSWER the same language distributed, over the derived quad table. Each
+# query text is genuine SPARQL; the oracle re-derives the identical result
+# relationally in DuckDB.
+# ---------------------------------------------------------------------------
+
+_SPARQL_BGP = f"""
+PREFIX t: <{G}#>
+SELECT ?supplier ?nation_label WHERE {{ GRAPH <{G}> {{
+    ?supplier a t:Supplier ;
+              t:inNation ?n .
+    ?n t:locatedIn ?r ;
+       rdfs:label ?nation_label .
+    ?r rdfs:label "ASIA" .
+}} }}"""
+
+
+def q_sparql_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-pattern SPARQL BGP (suppliers in ASIA nations, with nation
+    labels): each pattern is a pushed-down quad scan, joined on shared
+    variables most-constrained-first (tests/test_plans.py pins the shape)."""
+    from ontograph_spark.query import sparql_select
+
+    return sparql_select(quads_df(spark, sf_dir), _SPARQL_BGP)
+
+
+_SQL_SPARQL_BGP = f"""{_W}
+SELECT ty.subj AS supplier, nl.obj AS nation_label
+FROM quads ty
+JOIN quads innat ON innat.subj = ty.subj AND innat.pred = '<{G}#inNation>'
+JOIN quads loc ON loc.subj = innat.obj AND loc.pred = '<{G}#locatedIn>'
+JOIN quads nl ON nl.subj = innat.obj AND nl.pred = '{LABEL}'
+JOIN quads rl ON rl.subj = loc.obj AND rl.pred = '{LABEL}'
+WHERE ty.pred = '{RDF_TYPE}' AND ty.obj = '<{G}#Supplier>'
+  AND rl.obj = '"ASIA"'
+"""
+
+
+_SPARQL_OPTIONAL = f"""
+PREFIX t: <{G}#>
+SELECT ?s ?label WHERE {{ GRAPH <{G}> {{
+    ?s rdfs:label ?label
+    OPTIONAL {{ ?s t:inNation ?n }}
+    FILTER(!BOUND(?n))
+}} }}"""
+
+
+def q_sparql_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL + FILTER(!BOUND(…)) — SPARQL's negation idiom, compiled
+    to a left join + null filter (≡ anti-join): labelled entities with no
+    inNation edge, i.e. exactly the regions and nations."""
+    from ontograph_spark.query import sparql_select
+
+    return sparql_select(quads_df(spark, sf_dir), _SPARQL_OPTIONAL)
+
+
+_SQL_SPARQL_OPTIONAL = f"""{_W}
+SELECT l.subj AS s, l.obj AS label
+FROM quads l
+LEFT JOIN quads e ON e.subj = l.subj AND e.pred = '<{G}#inNation>'
+WHERE l.pred = '{LABEL}' AND e.subj IS NULL
+"""
+
+
+_SPARQL_FILTER = f"""
+PREFIX t: <{G}#>
+SELECT ?supplier ?bal WHERE {{ GRAPH <{G}> {{
+    ?supplier a t:Supplier ;
+              t:acctBal ?bal .
+    FILTER(?bal >= 5000)
+}} }}"""
+
+
+def q_sparql_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric FILTER over typed xsd:decimal literals: the comparison
+    extracts the literal's value and try_casts to double (a non-numeric
+    binding compares null ⇒ dropped, SPARQL's type-error-⇒-false)."""
+    from ontograph_spark.query import sparql_select
+
+    return sparql_select(quads_df(spark, sf_dir), _SPARQL_FILTER)
+
+
+_SQL_SPARQL_FILTER = f"""{_W}
+SELECT ty.subj AS supplier, b.obj AS bal
+FROM quads ty
+JOIN quads b ON b.subj = ty.subj AND b.pred = '<{G}#acctBal>'
+WHERE ty.pred = '{RDF_TYPE}' AND ty.obj = '<{G}#Supplier>'
+  AND TRY_CAST(regexp_extract(b.obj, '"([^"]*)"', 1) AS DOUBLE) >= 5000
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -1868,6 +1961,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash_pairs": q_docs_simhash_pairs,
         "emb_near_dup": q_emb_near_dup,
         "kg_pipeline_smoke": q_kg_pipeline_smoke,
+        "sparql_bgp": q_sparql_bgp,
+        "sparql_optional": q_sparql_optional,
+        "sparql_filter": q_sparql_filter,
     }
 
 
@@ -1924,6 +2020,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_minhash_pairs": _minhash_pairs_sql(),
         "docs_simhash_pairs": _simhash_pairs_sql(),
         "kg_pipeline_smoke": _SQL_KG_PIPELINE_SMOKE,
+        "sparql_bgp": _SQL_SPARQL_BGP,
+        "sparql_optional": _SQL_SPARQL_OPTIONAL,
+        "sparql_filter": _SQL_SPARQL_FILTER,
         # multimodal: the Arrow mapInPandas stages aren't SQL-expressible,
         # but their input is a deterministic fixed-size synth table, so
         # the rollups are golden VALUES pins (derived in pure Python,

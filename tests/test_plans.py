@@ -327,3 +327,31 @@ def test_k_hop_reachability_stays_hash_joined(spark):
     plan = plan_of(k_hop_reachability(quads, src, edge_preds=("<p>",), k=2))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sparql_bgp_plan_pushes_constants_and_stays_hash_joined(pstore):
+    """A SPARQL BGP compiles to pushed-down pattern scans joined on
+    shared variables: the constant predicate/graph reach the parquet
+    scan's PushedFilters, unused quad columns are pruned, and the
+    variable join never falls back to a nested loop or cartesian."""
+    from ontograph_spark.query import sparql_select
+
+    q = f"""
+    SELECT ?x ?y WHERE {{ GRAPH <{G}> {{
+        ?x <{G}#rel> ?y .
+        ?y <{G}#rel> ?z .
+    }} }}"""
+    plan = plan_of(sparql_select(pstore.df(), q))
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "EqualTo(pred," in pushed and "EqualTo(graph," in pushed
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sparql_ask_is_limit_probe(pstore):
+    """ASK compiles to a limit(1) existence probe, not a full scan+count."""
+    from ontograph_spark.query.sparql import _Parser, _compile_group
+
+    g = _Parser(f"ASK {{ ?s <{G}#rel> ?o }}").parse_query().group
+    plan = plan_of(_compile_group(pstore.df(), g).limit(1))
+    assert "CollectLimit" in plan or "GlobalLimit" in plan
