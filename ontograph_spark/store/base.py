@@ -259,6 +259,25 @@ class QuadStoreBase:
         self._drop_backend()
         self._uri = ""
 
+    # -- SPARQL answering (ontograph_spark/query) --------------------------
+
+    def sparql_select(self, query: str) -> DataFrame:
+        """Answer a SPARQL SELECT over this store's quad table — the
+        distributed counterpart of the reference's server-side answering
+        (the reference can only POST the query to Blazegraph,
+        blazegraph_store.go:40-53). Patterns outside a GRAPH clause match
+        every graph in the backing table."""
+        from ontograph_spark.query import sparql_select
+
+        return sparql_select(self._df(), query)
+
+    def sparql_ask(self, query: str) -> bool:
+        """Answer a SPARQL ASK over this store's quad table (one
+        ``limit(1)`` probe)."""
+        from ontograph_spark.query import sparql_ask
+
+        return sparql_ask(self._df(), query)
+
     # -- serialization (graph_store.go #15) -------------------------------
 
     def serialize_to_turtle(self, writer, pretty: bool = False) -> None:

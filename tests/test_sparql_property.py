@@ -1,0 +1,109 @@
+"""Property-based test for the SPARQL BGP compiler.
+
+tests/test_sparql_query.py pins hand-picked shapes; this pins the whole
+small-BGP space: for random quad sets and random 1-3-pattern basic graph
+patterns, the compiled DataFrame plan must produce the SAME BAG of
+solutions as a naive driver-side unification evaluator (the textbook
+semantics of BGP matching — one binding extension per matching triple
+per partial solution). Bag, not set: inner joins have multiset
+semantics, and the compiler must not introduce or lose duplicates
+through its selectivity-based join reordering.
+
+One shared Spark session, batched: hypothesis drives the example
+generation, but each example is a tiny local job, so examples are
+capped and deadline disabled (Spark latency, not algorithmic time).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ontograph_spark.query.sparql import _Parser, _compile_group
+
+SUBJECTS = ["<u:a>", "<u:b>", "<u:c>"]
+PREDS = ["<u:p>", "<u:q>"]
+OBJECTS = ["<u:a>", "<u:b>", '"x"', '"y"@de']
+VARS = ["x", "y", "z"]
+
+triples_st = st.lists(
+    st.tuples(
+        st.sampled_from(SUBJECTS), st.sampled_from(PREDS), st.sampled_from(OBJECTS)
+    ),
+    min_size=0,
+    max_size=8,
+    unique=True,  # quad stores have set semantics
+)
+
+
+def slot_st(pool):
+    return st.one_of(
+        st.sampled_from([("var", v) for v in VARS]),
+        st.sampled_from([("term", t) for t in pool]),
+    )
+
+
+pattern_st = st.tuples(slot_st(SUBJECTS), slot_st(PREDS), slot_st(OBJECTS)).filter(
+    lambda p: any(kind == "var" for kind, _ in p)
+)
+bgp_st = st.lists(pattern_st, min_size=1, max_size=3)
+
+
+def naive_bgp(triples, patterns):
+    """Textbook BGP evaluation: extend each partial binding with every
+    matching triple, pattern by pattern. Returns the solution bag."""
+    solutions = [dict()]
+    for pat in patterns:
+        extended = []
+        for binding in solutions:
+            for triple in triples:
+                b = dict(binding)
+                ok = True
+                for (kind, val), actual in zip(pat, triple):
+                    if kind == "term":
+                        if actual != val:
+                            ok = False
+                            break
+                    elif b.get(val, actual) != actual:
+                        ok = False
+                        break
+                    else:
+                        b[val] = actual
+                if ok:
+                    extended.append(b)
+        solutions = extended
+    return solutions
+
+
+def to_query(patterns) -> str:
+    def term(slot):
+        kind, val = slot
+        return f"?{val}" if kind == "var" else val
+
+    body = " . ".join(" ".join(term(s) for s in pat) for pat in patterns)
+    return f"SELECT * WHERE {{ {body} }}"
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(triples=triples_st, patterns=bgp_st)
+def test_bgp_matches_naive_unification(spark, triples, patterns):
+    rows = [(s, p, o, "u:g") for s, p, o in triples]
+    quads = spark.createDataFrame(
+        rows or [("<u:none>", "<u:none>", "<u:none>", "u:none")],
+        "subj string, pred string, obj string, graph string",
+    )
+    if not rows:
+        quads = quads.where("graph = 'u:g'")
+    q = _Parser(to_query(patterns)).parse_query()
+    df = _compile_group(quads, q.group)
+    got = Counter(tuple(sorted(r.asDict().items())) for r in df.collect())
+    want = Counter(
+        tuple(sorted(b.items())) for b in naive_bgp(triples, patterns)
+    )
+    assert got == want

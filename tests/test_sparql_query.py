@@ -280,3 +280,22 @@ def test_select_on_ask_and_vice_versa(store):
         sparql_select(store.df(), f"ASK {{ ?s ?p ?o }}")
     with pytest.raises(SparqlSyntaxError):
         sparql_ask(store.df(), "SELECT ?s WHERE { ?s ?p ?o }")
+
+
+def test_store_sparql_methods_scope_by_graph(spark, tmp_path):
+    """QuadStoreBase.sparql_select/ask run over the FULL backing table
+    (GRAPH clauses see every graph; unscoped patterns match all)."""
+    from ontograph_spark.ontology.resources import new_triple
+    from ontograph_spark.store import ParquetQuadStore
+
+    root = str(tmp_path / "quads")
+    s1 = ParquetQuadStore(spark, "urn:g1", root, write_partitions=1)
+    s1.add_triple(new_triple(mk_resource("urn:g1#a"), mk_resource("urn:g1#p"), mk_resource("urn:g1#b")))
+    s2 = ParquetQuadStore(spark, "urn:g2", root, write_partitions=1)
+    s2.add_triple(new_triple(mk_resource("urn:g2#a"), mk_resource("urn:g2#p"), mk_resource("urn:g2#b")))
+    scoped = s1.sparql_select("SELECT ?s WHERE { GRAPH <urn:g1> { ?s ?p ?o } }")
+    assert [r[0] for r in scoped.collect()] == ["<urn:g1#a>"]
+    unscoped = s1.sparql_select("SELECT DISTINCT ?s WHERE { ?s ?p ?o }")
+    assert {r[0] for r in unscoped.collect()} == {"<urn:g1#a>", "<urn:g2#a>"}
+    assert s1.sparql_ask("ASK { GRAPH <urn:g2> { <urn:g2#a> ?p ?o } }") is True
+    assert s1.sparql_ask("ASK { GRAPH <urn:g2> { <urn:g1#a> ?p ?o } }") is False
