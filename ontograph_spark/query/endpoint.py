@@ -1,0 +1,206 @@
+"""In-process SPARQL endpoint over quad stores.
+
+The reference splits the system in two: a Go client that builds SPARQL
+strings (blazegraph_store.go) and a Blazegraph server that answers them.
+:class:`LocalSparqlEndpoint` plays the server role with the distributed
+engine itself — queries are answered by :mod:`ontograph_spark.query.sparql`
+over the union of the managed graphs, and updates dispatch to the quad
+stores' operator surface — so the reference-shaped client
+(:class:`~ontograph_spark.store.sparql_store.SparqlQuadStore`) runs its
+ENTIRE operator set (checked/unchecked add/delete incl. batch rollback,
+pattern match, size, drop, Turtle export) with no external service:
+
+    endpoint = LocalSparqlEndpoint(spark, lambda uri: MemoryQuadStore(spark, uri))
+    client = endpoint.client("https://g.example/my-graph")
+    client.add_triples(triples)        # SPARQL in, engine answers
+
+Update grammar accepted (exactly what the client generates, mirroring
+blazegraph_store.go:104, 166, 248, 289): ``INSERT DATA { GRAPH <g> {…} }``,
+``DELETE DATA { GRAPH <g> {…} }``, ``DELETE WHERE { GRAPH <g> { s p o } }``
+(variables = wildcards), ``DROP GRAPH <g>``.
+
+Scale note: this adapter is the *compatibility* path — per-operation
+driver round-trips, like the reference's own client. Bulk pipelines
+should write through :meth:`QuadStoreBase.merge_df` and query through
+:func:`sparql_select` directly; both are documented on the store API.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ontograph_spark.query.sparql import (
+    Group,
+    SparqlSyntaxError,
+    _Parser,
+    parse_group_text,
+    sparql_ask,
+    sparql_select,
+)
+from ontograph_spark.store.base import QUAD_SCHEMA, QuadStoreBase
+from ontograph_spark.store.sparql_store import SparqlQuadStore
+from ontograph_spark.ontology.resources import Triple
+from ontograph_spark.terms import (
+    is_literal,
+    is_resource,
+    term_datatype,
+    term_language,
+    term_value,
+)
+
+_UPDATE_RE = re.compile(
+    r"\s*(INSERT\s+DATA|DELETE\s+DATA|DELETE\s+WHERE|DROP\s+GRAPH)\s*(.*)",
+    re.S | re.I,
+)
+
+
+def term_to_binding(term: str) -> dict:
+    """Encode an N-Triples term as a SPARQL-JSON binding — the inverse of
+    :func:`ontograph_spark.store.sparql_store.binding_to_term` (itself the
+    twin of the reference's binding2Term, blazegraph_store.go:434-445)."""
+    if not isinstance(term, str):
+        # non-term scalars (COUNT results are longs)
+        return {"type": "literal", "value": str(term)}
+    if is_resource(term):
+        return {"type": "uri", "value": term_value(term)}
+    if is_literal(term):
+        b: dict = {"type": "literal", "value": term_value(term)}
+        lang = term_language(term)
+        if lang:
+            b["xml:lang"] = lang
+        dt = term_datatype(term)  # already the bare datatype URI
+        if dt:
+            b["datatype"] = dt
+        return b
+    # non-term scalars (COUNT results, bare graph URIs from GRAPH ?g)
+    return {"type": "literal", "value": str(term)}
+
+
+class LocalSparqlEndpoint:
+    """SPARQL query+update service over engine-managed quad stores.
+
+    ``store_factory(uri)`` creates the backend for a graph on first
+    touch — any :class:`QuadStoreBase` (in-memory for fixtures, parquet
+    for shared persistent graphs with one backing table)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_factory: Callable[[str], QuadStoreBase],
+    ) -> None:
+        self.spark = spark
+        self._factory = store_factory
+        self._stores: dict[str, QuadStoreBase] = {}
+
+    def store_for(self, uri: str) -> QuadStoreBase:
+        if uri not in self._stores:
+            self._stores[uri] = self._factory(uri)
+        return self._stores[uri]
+
+    def client(self, uri: str) -> SparqlQuadStore:
+        """A reference-shaped SPARQL client whose transport is this
+        endpoint (no HTTP, no server)."""
+        self.store_for(uri)
+        return _LocalClient(self, uri)
+
+    # -- the "server" ------------------------------------------------------
+
+    def _world(self) -> DataFrame:
+        """Union of all managed graphs — the dataset queries run over.
+        Stores sharing one backing table contribute identical scans and
+        collapse via ReuseExchange; the union is a plan, not a copy."""
+        dfs = [s.df() for s in self._stores.values()]
+        if not dfs:
+            return self.spark.createDataFrame([], QUAD_SCHEMA)
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def query(self, sparql: str) -> dict:
+        """Answer SELECT/ASK, returning the SPARQL-JSON result shape the
+        reference client decodes (blazegraph_endpoint.go:265-284)."""
+        kind = _Parser(sparql).parse_query().kind
+        world = self._world()
+        if kind == "ask":
+            return {"boolean": sparql_ask(world, sparql)}
+        if kind != "select":
+            raise SparqlSyntaxError(f"endpoint answers SELECT/ASK, not {kind}")
+        df = sparql_select(world, sparql)
+        bindings = [
+            {
+                var: term_to_binding(val)
+                for var, val in row.asDict().items()
+                if val is not None
+            }
+            for row in df.collect()
+        ]
+        return {"head": {"vars": df.columns}, "results": {"bindings": bindings}}
+
+    def update(self, sparql: str) -> None:
+        """Execute an update by dispatching to the graph's store operators."""
+        m = _UPDATE_RE.match(sparql)
+        if m is None:
+            raise SparqlSyntaxError(f"unsupported update: {sparql[:60]!r}")
+        form = re.sub(r"\s+", " ", m.group(1).upper())
+        rest = m.group(2)
+        if form == "DROP GRAPH":
+            iri = rest.strip()
+            if not (iri.startswith("<") and iri.endswith(">")):
+                raise SparqlSyntaxError(f"DROP GRAPH needs an IRI: {rest!r}")
+            uri = iri[1:-1]
+            self.store_for(uri).drop()
+            del self._stores[uri]
+            return
+        group = parse_group_text(rest)
+        if group.filters or group.optionals or group.unions:
+            raise SparqlSyntaxError(f"{form} body must be plain triples")
+        if form in ("INSERT DATA", "DELETE DATA"):
+            by_graph = self._data_triples(group, form)
+            for uri, triples in by_graph.items():
+                store = self.store_for(uri)
+                if form == "INSERT DATA":
+                    store.add_triples_unchecked(triples)
+                else:
+                    store.delete_triples_unchecked(triples)
+            return
+        # DELETE WHERE: each pattern is an independent wildcard delete
+        for pat in group.patterns:
+            if pat.g is None or pat.g[0] != "term":
+                raise SparqlSyntaxError("DELETE WHERE needs GRAPH <uri> scope")
+            wild = [
+                val if kind == "term" else ""
+                for kind, val in (pat.s, pat.p, pat.o)
+            ]
+            self.store_for(pat.g[1]).delete_all_matches(*wild)
+
+    @staticmethod
+    def _data_triples(group: Group, form: str) -> dict[str, list[Triple]]:
+        out: dict[str, list[Triple]] = {}
+        for pat in group.patterns:
+            if pat.g is None or pat.g[0] != "term":
+                raise SparqlSyntaxError(f"{form} needs GRAPH <uri> scope")
+            slots = []
+            for kind, val in (pat.s, pat.p, pat.o):
+                if kind != "term":
+                    raise SparqlSyntaxError(f"{form} cannot contain variables")
+                slots.append(val)
+            out.setdefault(pat.g[1], []).append(Triple(*slots))
+        return out
+
+
+class _LocalClient(SparqlQuadStore):
+    """SparqlQuadStore whose transport is a LocalSparqlEndpoint."""
+
+    def __init__(self, endpoint: LocalSparqlEndpoint, uri: str) -> None:
+        super().__init__(uri, f"local://{uri}")
+        self._endpoint = endpoint
+
+    def _execute_query(self, sparql: str) -> dict:
+        return self._endpoint.query(sparql)
+
+    def _execute_update(self, sparql: str) -> None:
+        self._endpoint.update(sparql)

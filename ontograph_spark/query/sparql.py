@@ -19,7 +19,9 @@ into this engine):
 * ``FILTER`` with ``= != < <= > >= && || !`` and ``BOUND(?v)``;
 * ``OPTIONAL { … }`` and ``{ … } UNION { … }``;
 * ``ORDER BY [ASC|DESC](?v)``, ``LIMIT``, ``OFFSET``;
-* ``ASK { … }``.
+* ``ASK { … }``;
+* ``CONSTRUCT { template } WHERE { … }`` (the reference's Turtle-export
+  form) via :func:`sparql_construct`.
 
 Out of scope (documented, not silently wrong): property paths, subqueries,
 ``GROUP BY`` (only the reference's bare ``COUNT`` projection), blank nodes
@@ -136,7 +138,7 @@ class Group:
 
 @dataclass
 class Query:
-    kind: str  # "select" | "ask"
+    kind: str  # "select" | "ask" | "construct"
     group: Group
     projection: list[str] | None = None  # None = *
     count: tuple[str, str | None, bool] | None = None  # (as_var, count_var, distinct)
@@ -144,6 +146,7 @@ class Query:
     order: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     limit: int | None = None
     offset: int | None = None
+    template: list[Pattern] = field(default_factory=list)  # CONSTRUCT only
 
 
 # --------------------------------------------------------------------------
@@ -237,6 +240,26 @@ class _Parser:
         if self.at_kw("ASK"):
             self.next()
             q = Query(kind="ask", group=self.parse_group())
+            if self.peek() is not None:
+                raise SparqlSyntaxError(f"trailing tokens at {self.peek()}")
+            return q
+        if self.at_kw("CONSTRUCT"):
+            self.next()
+            template = self.parse_group()
+            if (
+                template.filters
+                or template.optionals
+                or template.unions
+                or any(p.g is not None for p in template.patterns)
+            ):
+                raise SparqlSyntaxError(
+                    "CONSTRUCT template must be a plain triple block"
+                )
+            self.expect_kw("WHERE")
+            q = Query(
+                kind="construct", group=self.parse_group(), template=template.patterns
+            )
+            self._parse_modifiers(q)
             if self.peek() is not None:
                 raise SparqlSyntaxError(f"trailing tokens at {self.peek()}")
             return q
@@ -635,6 +658,54 @@ def sparql_select(quads: DataFrame, query: str) -> DataFrame:
     if q.limit is not None:
         df = df.limit(q.limit)
     return df
+
+
+def sparql_construct(quads: DataFrame, query: str) -> DataFrame:
+    """Answer a SPARQL CONSTRUCT (the reference's Turtle-export query
+    form, blazegraph_store.go:327-393): solve the WHERE group, then
+    instantiate each template pattern once per solution — a
+    select-per-template + union, solutions with an unbound template
+    variable dropped (SPARQL 1.1 §16.2), distinct because the result is
+    a graph (set semantics). Returns ``(subj, pred, obj)`` rows."""
+    q = _Parser(query).parse_query()
+    if q.kind != "construct":
+        raise SparqlSyntaxError("use sparql_select/sparql_ask for this query")
+    df = _compile_group(quads, q.group)
+    if q.order:
+        df = df.orderBy(
+            *[F.col(v).asc() if asc else F.col(v).desc() for v, asc in q.order]
+        )
+    if q.offset is not None:
+        df = df.offset(q.offset)
+    if q.limit is not None:
+        df = df.limit(q.limit)
+    cols = set(df.columns)
+    out: DataFrame | None = None
+    for pat in q.template:
+        row = []
+        for (kind, val), name in ((pat.s, "subj"), (pat.p, "pred"), (pat.o, "obj")):
+            if kind == "term":
+                row.append(F.lit(val).alias(name))
+            elif val not in cols:
+                raise SparqlSyntaxError(f"template references unbound ?{val}")
+            else:
+                row.append(F.col(val).alias(name))
+        inst = df.select(*row).na.drop()
+        out = inst if out is None else out.unionByName(inst)
+    if out is None:
+        raise SparqlSyntaxError("empty CONSTRUCT template")
+    return out.distinct()
+
+
+def parse_group_text(text: str) -> Group:
+    """Parse a standalone ``{ … }`` group graph pattern (used by the
+    in-process endpoint to decode the bodies of INSERT DATA / DELETE
+    DATA / DELETE WHERE updates, which share the group grammar)."""
+    p = _Parser(text)
+    g = p.parse_group()
+    if p.peek() is not None:
+        raise SparqlSyntaxError(f"trailing tokens at {p.peek()}")
+    return g
 
 
 def sparql_ask(quads: DataFrame, query: str) -> bool:

@@ -1,0 +1,181 @@
+"""The reference-shaped SPARQL client running against the engine itself.
+
+In the reference, SparqlQuadStore-equivalent code only works with a live
+Blazegraph (blazegraph_store_test.go:51-397 needs docker). Here the same
+client operator matrix runs with :class:`LocalSparqlEndpoint` playing the
+server over the distributed engine — every operation goes through real
+SPARQL strings, the engine's parser/compiler, and the quad-store
+operators underneath. Scenarios transcribed from memory_store_test.go
+(they are backend-independent by design in the reference)."""
+
+from __future__ import annotations
+
+import io
+
+import pytest
+
+from ontograph_spark.errors import (
+    TripleAlreadyExistsError,
+    TripleDoesNotExistError,
+)
+from ontograph_spark.ontology.resources import new_triple
+from ontograph_spark.query import LocalSparqlEndpoint, SparqlSyntaxError, sparql_construct
+from ontograph_spark.store import MemoryQuadStore
+from ontograph_spark.terms import mk_literal, mk_resource
+
+from test_store import GRAPH_URI, as_set, fixture_triples
+
+TRIPLES = fixture_triples(GRAPH_URI)
+
+
+@pytest.fixture()
+def endpoint(spark):
+    return LocalSparqlEndpoint(spark, lambda uri: MemoryQuadStore(spark, uri))
+
+
+@pytest.fixture()
+def client(endpoint):
+    c = endpoint.client(GRAPH_URI)
+    c.add_triples_unchecked(TRIPLES)
+    return c
+
+
+def test_matrix_get_all_matches(client):
+    assert as_set(client.get_all_triples()) == as_set(TRIPLES)
+    fan = client.get_all_matches(mk_resource(GRAPH_URI), "", "")
+    assert as_set(fan) == as_set(TRIPLES[:3])
+    lit = client.get_all_matches("", "", mk_literal("lit2", "de", ""))
+    assert as_set(lit) == as_set([TRIPLES[5]])
+    assert client.get_first_match("", mk_resource(f"{GRAPH_URI}#rel-2"), "") == TRIPLES[3]
+    assert client.get_first_match(mk_resource(f"{GRAPH_URI}#nope"), "", "") is None
+
+
+def test_matrix_size_and_checked_add(client):
+    assert client.size() == 7
+    with pytest.raises(TripleAlreadyExistsError):
+        client.add_triple(TRIPLES[0])
+    fresh = new_triple(
+        mk_resource(f"{GRAPH_URI}#new"),
+        mk_resource(f"{GRAPH_URI}#rel-9"),
+        mk_literal("v", "", ""),
+    )
+    client.add_triple(fresh)
+    assert client.size() == 8
+
+
+def test_matrix_batch_add_rolls_back_on_conflict(client):
+    fresh = new_triple(
+        mk_resource(f"{GRAPH_URI}#n1"), mk_resource(f"{GRAPH_URI}#r"), mk_literal("1", "", "")
+    )
+    with pytest.raises(TripleAlreadyExistsError):
+        client.add_triples([fresh, TRIPLES[0]])
+    assert client.size() == 7  # fresh was compensated away
+
+
+def test_matrix_checked_delete_and_rollback(client):
+    ghost = new_triple(
+        mk_resource(f"{GRAPH_URI}#ghost"), mk_resource(f"{GRAPH_URI}#r"), mk_literal("x", "", "")
+    )
+    with pytest.raises(TripleDoesNotExistError):
+        client.delete_triple(ghost)
+    with pytest.raises(TripleDoesNotExistError):
+        client.delete_triples([TRIPLES[0], ghost])
+    assert client.size() == 7  # the deleted TRIPLES[0] was restored
+    client.delete_triple(TRIPLES[0])
+    assert client.size() == 6
+
+
+def test_matrix_delete_all_matches_and_unchecked(client):
+    client.delete_all_matches(mk_resource(GRAPH_URI), "", "")
+    assert client.size() == 4
+    client.delete_triple_unchecked(TRIPLES[3])
+    client.delete_triple_unchecked(TRIPLES[3])  # idempotent
+    assert client.size() == 3
+
+
+def test_matrix_drop(endpoint, client):
+    client.drop()
+    assert client.get_uri() == ""
+    # the graph is gone from the endpoint's world
+    assert endpoint.query(
+        f"SELECT (COUNT(*) AS ?n) WHERE {{ GRAPH <{GRAPH_URI}> {{ ?s ?p ?o }} }}"
+    )["results"]["bindings"][0]["n"]["value"] == "0"
+
+
+def test_turtle_export_through_client(client):
+    buf = io.StringIO()
+    client.serialize_to_turtle(buf)
+    text = buf.getvalue()
+    assert f"<{GRAPH_URI}#rel-1>" in text and '"lit2"@de' in text
+
+
+def test_two_graphs_are_scoped(endpoint):
+    a = endpoint.client("urn:a")
+    b = endpoint.client("urn:b")
+    a.add_triple_unchecked(
+        new_triple(mk_resource("urn:a#x"), mk_resource("urn:a#p"), mk_literal("va", "", ""))
+    )
+    b.add_triple_unchecked(
+        new_triple(mk_resource("urn:b#x"), mk_resource("urn:b#p"), mk_literal("vb", "", ""))
+    )
+    assert a.size() == 1 and b.size() == 1
+    assert a.get_all_triples()[0].object == '"va"'
+    assert b.get_all_triples()[0].object == '"vb"'
+
+
+def test_typed_literal_binding_round_trip(endpoint):
+    c = endpoint.client("urn:t")
+    t = new_triple(
+        mk_resource("urn:t#x"),
+        mk_resource("urn:t#p"),
+        mk_literal("3.5", "", "http://www.w3.org/2001/XMLSchema#decimal"),
+    )
+    c.add_triple_unchecked(t)
+    # term → binding (endpoint) → term (client) must be lossless
+    assert c.get_all_triples() == [t]
+
+
+def test_endpoint_rejects_unknown_update(endpoint):
+    with pytest.raises(SparqlSyntaxError):
+        endpoint.update("LOAD <http://x/file.ttl>")
+    with pytest.raises(SparqlSyntaxError):
+        endpoint.update("INSERT DATA { <urn:x> <urn:p> ?v }")  # variable in DATA
+
+
+def test_construct_instantiates_template(spark, endpoint):
+    c = endpoint.client("urn:c")
+    c.add_triples_unchecked(
+        [
+            new_triple(mk_resource("urn:c#a"), mk_resource("urn:c#knows"), mk_resource("urn:c#b")),
+            new_triple(mk_resource("urn:c#b"), mk_resource("urn:c#knows"), mk_resource("urn:c#c")),
+        ]
+    )
+    # invert the edge direction and tag every node — multi-pattern template
+    rows = sparql_construct(
+        endpoint.store_for("urn:c").df(),
+        """
+        CONSTRUCT {
+            ?y <urn:c#knownBy> ?x .
+            ?x a <urn:c#Node> .
+        } WHERE { ?x <urn:c#knows> ?y }
+        """,
+    ).collect()
+    got = {tuple(r) for r in rows}
+    rdf_type = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    assert got == {
+        ("<urn:c#b>", "<urn:c#knownBy>", "<urn:c#a>"),
+        ("<urn:c#c>", "<urn:c#knownBy>", "<urn:c#b>"),
+        ("<urn:c#a>", rdf_type, "<urn:c#Node>"),
+        ("<urn:c#b>", rdf_type, "<urn:c#Node>"),
+    }
+
+
+def test_construct_spo_is_identity_export(client):
+    """The reference's export query (blazegraph_store.go:329) — CONSTRUCT
+    { ?s ?p ?o } over the graph — reproduces the triple set exactly."""
+    df = sparql_construct(
+        client._endpoint.store_for(GRAPH_URI).df(),
+        f"CONSTRUCT {{ ?s ?p ?o }} WHERE {{ GRAPH <{GRAPH_URI}> {{ ?s ?p ?o }} }}",
+    )
+    got = {tuple(r) for r in df.collect()}
+    assert got == {(t.subject, t.predicate, t.object) for t in TRIPLES}
