@@ -1896,6 +1896,40 @@ WHERE ty.pred = '{RDF_TYPE}' AND ty.obj = '<{G}#Supplier>'
 """
 
 
+_SPARQL_CONSTRUCT = f"""
+PREFIX t: <{G}#>
+CONSTRUCT {{
+    ?c t:inRegion ?r .
+    ?c a t:RegionMember .
+}} WHERE {{ GRAPH <{G}> {{
+    ?c t:inNation ?n .
+    ?n t:locatedIn ?r .
+}} }}"""
+
+
+def q_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSTRUCT (the reference's Turtle-export query form answered
+    distributed): derive 2-hop (customer|supplier)->region edges plus a
+    class triple per member — one solved BGP instantiated through a
+    two-pattern template (select-per-template + union + distinct)."""
+    from ontograph_spark.query import sparql_construct
+
+    return sparql_construct(quads_df(spark, sf_dir), _SPARQL_CONSTRUCT)
+
+
+_SQL_SPARQL_CONSTRUCT = f"""{_W},
+sol AS (
+  SELECT a.subj AS c, b.obj AS r
+  FROM quads a
+  JOIN quads b ON b.subj = a.obj AND b.pred = '<{G}#locatedIn>'
+  WHERE a.pred = '<{G}#inNation>'
+)
+SELECT c AS subj, '<{G}#inRegion>' AS pred, r AS obj FROM sol
+UNION
+SELECT c AS subj, '{RDF_TYPE}' AS pred, '<{G}#RegionMember>' AS obj FROM sol
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -1964,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_bgp": q_sparql_bgp,
         "sparql_optional": q_sparql_optional,
         "sparql_filter": q_sparql_filter,
+        "sparql_construct": q_sparql_construct,
     }
 
 
@@ -2023,6 +2058,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_bgp": _SQL_SPARQL_BGP,
         "sparql_optional": _SQL_SPARQL_OPTIONAL,
         "sparql_filter": _SQL_SPARQL_FILTER,
+        "sparql_construct": _SQL_SPARQL_CONSTRUCT,
         # multimodal: the Arrow mapInPandas stages aren't SQL-expressible,
         # but their input is a deterministic fixed-size synth table, so
         # the rollups are golden VALUES pins (derived in pure Python,
