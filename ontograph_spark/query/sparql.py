@@ -16,7 +16,10 @@ into this engine):
 * ``SELECT [DISTINCT] ?v … | * | (COUNT([DISTINCT] *|?v) AS ?n)``;
 * basic graph patterns with ``;`` / ``,`` predicate-object list sugar;
 * ``GRAPH <uri> { … }`` / ``GRAPH ?g { … }`` scoping;
-* ``FILTER`` with ``= != < <= > >= && || !`` and ``BOUND(?v)``;
+* ``FILTER`` with ``= != < <= > >= && || !``, ``BOUND(?v)``, the string
+  tests ``REGEX(?v, "pat"[, "i"])`` / ``STRSTARTS`` / ``CONTAINS`` (over
+  the literal's value), and the accessors ``LANG(?v)`` / ``DATATYPE(?v)``
+  / ``STR(?v)`` in comparisons;
 * ``OPTIONAL { … }`` and ``{ … } UNION { … }``;
 * ``ORDER BY [ASC|DESC](?v)``, ``LIMIT``, ``OFFSET``;
 * ``ASK { … }``;
@@ -55,7 +58,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ontograph_spark import vocab
-from ontograph_spark.terms import term_value_col
+from ontograph_spark.terms import (
+    term_datatype_col,
+    term_language_col,
+    term_value_col,
+)
 
 
 class SparqlSyntaxError(ValueError):
@@ -451,6 +458,28 @@ class _Parser:
                 raise SparqlSyntaxError("BOUND needs a ?var")
             self.expect_op(")")
             return ("bound", text[1:])
+        if self.at_kw("REGEX", "STRSTARTS", "CONTAINS"):
+            name = self.next()[1].upper()
+            self.expect_op("(")
+            args = [self._parse_primary()]
+            while self.at_op(","):
+                self.next()
+                args.append(self._parse_primary())
+            self.expect_op(")")
+            want = (2, 3) if name == "REGEX" else (2, 2)
+            if not (want[0] <= len(args) <= want[1]):
+                raise SparqlSyntaxError(f"{name} takes {want[0]}-{want[1]} args")
+            if not all(a[0] == "str" for a in args[1:]):
+                raise SparqlSyntaxError(f"{name} needs constant string args")
+            return ("sfunc", name, args)
+        if self.at_kw("LANG", "DATATYPE", "STR"):
+            name = self.next()[1].upper()
+            self.expect_op("(")
+            kind, text = self.next()
+            if kind != "VAR":
+                raise SparqlSyntaxError(f"{name} needs a ?var")
+            self.expect_op(")")
+            return ("acc", name, text[1:])
         kind, text = self.next()
         if kind == "VAR":
             return ("var", text[1:])
@@ -549,28 +578,71 @@ def _compile_expr(node, columns: set[str]) -> Column:
         return F.col(node[1]).isNotNull()
     if kind == "cmp":
         return _compile_cmp(node[1], node[2], node[3], columns)
+    if kind == "sfunc":
+        name, args = node[1], node[2]
+        subject = _string_operand(args[0], columns)
+        consts = [a[1] for a in args[1:]]
+        if name == "REGEX":
+            pattern = consts[0]
+            if len(consts) == 2 and "i" in consts[1]:
+                pattern = f"(?i){pattern}"
+            return subject.rlike(pattern)
+        if name == "STRSTARTS":
+            return subject.startswith(consts[0])
+        return subject.contains(consts[0])  # CONTAINS
     raise SparqlSyntaxError(f"expression {node!r} is not a boolean constraint")
 
 
+_ACCESSORS = {
+    "LANG": term_language_col,
+    "DATATYPE": term_datatype_col,
+    "STR": term_value_col,
+}
+
+
+def _string_operand(node, columns: set[str]) -> Column:
+    """An expression operand as a plain string Column: vars via the
+    literal's value, LANG/DATATYPE/STR accessors via the term codec."""
+    kind = node[0]
+    if kind == "var":
+        if node[1] not in columns:
+            raise SparqlSyntaxError(f"FILTER references unbound ?{node[1]}")
+        return term_value_col(F.col(node[1]))
+    if kind == "acc":
+        if node[2] not in columns:
+            raise SparqlSyntaxError(f"FILTER references unbound ?{node[2]}")
+        return _ACCESSORS[node[1]](F.col(node[2]))
+    raise SparqlSyntaxError(f"{node!r} is not a string-valued operand")
+
+
 def _operand_mode(node) -> str:
-    return {"num": "num", "str": "value", "term": "term", "var": "var"}[node[0]]
+    modes = {"num": "num", "str": "value", "term": "term", "var": "var", "acc": "acc"}
+    if node[0] not in modes:
+        raise SparqlSyntaxError(f"{node!r} cannot appear in a comparison")
+    return modes[node[0]]
 
 
 def _cmp_side(node, mode: str, columns: set[str]) -> Column:
     kind = node[0]
+    if kind == "acc":
+        return _string_operand(node, columns)
     if kind == "var":
         if node[1] not in columns:
             raise SparqlSyntaxError(f"FILTER references unbound ?{node[1]}")
         col = F.col(node[1])
         if mode == "num":
             return term_value_col(col).try_cast("double")
-        if mode == "value":
+        if mode in ("value", "acc"):
             return term_value_col(col)
         return col
     if kind == "num":
         return F.lit(node[1])
     if kind == "str":
         return F.lit(node[1])
+    if mode == "acc":
+        # accessor results are bare strings (LANG tag, DATATYPE uri,
+        # STR lexical form) — strip the IRI constant's angle brackets
+        return F.lit(node[1][1:-1] if node[1].startswith("<") else node[1])
     return F.lit(node[1])  # full encoded term
 
 
@@ -578,6 +650,8 @@ def _compile_cmp(op: str, lhs, rhs, columns: set[str]) -> Column:
     modes = {_operand_mode(lhs), _operand_mode(rhs)}
     if modes == {"var"}:
         mode = "term"
+    elif "acc" in modes:
+        mode = "acc"
     elif "num" in modes:
         mode = "num"
     elif "value" in modes:

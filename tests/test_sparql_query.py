@@ -299,3 +299,37 @@ def test_store_sparql_methods_scope_by_graph(spark, tmp_path):
     assert {r[0] for r in unscoped.collect()} == {"<urn:g1#a>", "<urn:g2#a>"}
     assert s1.sparql_ask("ASK { GRAPH <urn:g2> { <urn:g2#a> ?p ?o } }") is True
     assert s1.sparql_ask("ASK { GRAPH <urn:g2> { <urn:g1#a> ?p ?o } }") is False
+
+
+def test_filter_builtins_regex_strstarts_contains(store):
+    q = f"""SELECT ?s ?o WHERE {{ ?s <{U}#rel-1> ?o FILTER(REGEX(STR(?o), "#[ab]$")) }}"""
+    rows = {r[1] for r in sparql_select(store.df(), q).collect()}
+    assert rows == {f"<{U}#a>", f"<{U}#b>"}
+    q2 = f"""SELECT ?o WHERE {{ ?s ?p ?o FILTER(STRSTARTS(?o, "lit")) }}"""
+    assert {r[0] for r in sparql_select(store.df(), q2).collect()} == {
+        '"lit1"', '"lit2"@de', f'"lit3"^^<{U}#datatype>'
+    }
+    q3 = f"""SELECT ?o WHERE {{ ?s ?p ?o FILTER(CONTAINS(?o, "it2")) }}"""
+    assert [r[0] for r in sparql_select(store.df(), q3).collect()] == ['"lit2"@de']
+    q4 = f"""SELECT ?o WHERE {{ ?s ?p ?o FILTER(REGEX(?o, "LIT2", "i")) }}"""
+    assert [r[0] for r in sparql_select(store.df(), q4).collect()] == ['"lit2"@de']
+
+
+def test_filter_lang_and_datatype_accessors(store):
+    q = f"""SELECT ?o WHERE {{ ?s ?p ?o FILTER(LANG(?o) = "de") }}"""
+    assert [r[0] for r in sparql_select(store.df(), q).collect()] == ['"lit2"@de']
+    q2 = f"""SELECT ?o WHERE {{ ?s ?p ?o FILTER(DATATYPE(?o) = <{U}#datatype>) }}"""
+    assert [r[0] for r in sparql_select(store.df(), q2).collect()] == [
+        f'"lit3"^^<{U}#datatype>'
+    ]
+    q3 = f"""SELECT ?o WHERE {{ <{U}#c> ?p ?o FILTER(STR(?o) != "lit1" && LANG(?o) = "") }}"""
+    assert [r[0] for r in sparql_select(store.df(), q3).collect()] == [
+        f'"lit3"^^<{U}#datatype>'
+    ]
+
+
+def test_filter_builtin_errors(store):
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(store.df(), "SELECT ?o WHERE { ?s ?p ?o FILTER(REGEX(?o, ?o)) }")
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(store.df(), "SELECT ?o WHERE { ?s ?p ?o FILTER(LANG(?x) = \"de\") }")
