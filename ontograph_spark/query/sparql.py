@@ -30,6 +30,14 @@ Out of scope (documented, not silently wrong): property paths, subqueries,
 ``GROUP BY`` (only the reference's bare ``COUNT`` projection), blank nodes
 (unsupported across the reference too — SURVEY.md §2.1), ``BIND``,
 ``MINUS``, and SPARQL's full operator-precedence value type system.
+OPTIONAL/UNION compile relationally (left join / union on shared
+variable columns): a variable that later joins must be BOUND wherever it
+appears — SPARQL's unbound-is-compatible-with-anything rule for
+solutions from nested OPTIONALs or partial UNION branches is not
+implemented (those solutions drop at the join instead of matching
+everything). Single-level OPTIONALs over BGPs — the negation idiom and
+every common use — bind all their variables, where the compilation is
+exact (property-pinned in tests/test_sparql_property.py).
 Comparison semantics here: the constant operand picks the mode — numeric
 constant ⇒ both sides as doubles via the literal's value (``try_cast``;
 non-numeric bindings compare as null ⇒ row dropped, matching SPARQL's

@@ -107,3 +107,93 @@ def test_bgp_matches_naive_unification(spark, triples, patterns):
         tuple(sorted(b.items())) for b in naive_bgp(triples, patterns)
     )
     assert got == want
+
+
+def to_optional_query(left, opt) -> str:
+    def term(slot):
+        kind, val = slot
+        return f"?{val}" if kind == "var" else val
+
+    lbody = " . ".join(" ".join(term(s) for s in pat) for pat in left)
+    obody = " . ".join(" ".join(term(s) for s in pat) for pat in opt)
+    return f"SELECT * WHERE {{ {lbody} OPTIONAL {{ {obody} }} }}"
+
+
+def naive_optional(triples, left, opt):
+    """SPARQL leftjoin over BGP solutions: extend each left solution with
+    every compatible right solution; keep it bare when none match. All
+    BGP solutions bind all their vars, so compatibility == equality on
+    shared keys (the regime the compiler supports exactly)."""
+    lsol = naive_bgp(triples, left)
+    rsol = naive_bgp(triples, opt)
+    out = []
+    for b in lsol:
+        matches = [
+            {**b, **r}
+            for r in rsol
+            if all(b[k] == r[k] for k in b.keys() & r.keys())
+        ]
+        out.extend(matches if matches else [b])
+    return out
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(triples=triples_st, left=st.lists(pattern_st, min_size=1, max_size=2),
+       opt=st.lists(pattern_st, min_size=1, max_size=2))
+def test_optional_matches_naive_leftjoin(spark, triples, left, opt):
+    rows = [(s, p, o, "u:g") for s, p, o in triples]
+    quads = spark.createDataFrame(
+        rows or [("<u:none>", "<u:none>", "<u:none>", "u:none")],
+        "subj string, pred string, obj string, graph string",
+    )
+    if not rows:
+        quads = quads.where("graph = 'u:g'")
+    q = _Parser(to_optional_query(left, opt)).parse_query()
+    df = _compile_group(quads, q.group)
+    got = Counter(
+        tuple(sorted((k, v) for k, v in r.asDict().items() if v is not None))
+        for r in df.collect()
+    )
+    want = Counter(
+        tuple(sorted(b.items())) for b in naive_optional(triples, left, opt)
+    )
+    assert got == want
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(triples=triples_st, a=st.lists(pattern_st, min_size=1, max_size=2),
+       b=st.lists(pattern_st, min_size=1, max_size=2))
+def test_union_matches_naive_bag_union(spark, triples, a, b):
+    def term(slot):
+        kind, val = slot
+        return f"?{val}" if kind == "var" else val
+
+    abody = " . ".join(" ".join(term(s) for s in pat) for pat in a)
+    bbody = " . ".join(" ".join(term(s) for s in pat) for pat in b)
+    query = f"SELECT * WHERE {{ {{ {abody} }} UNION {{ {bbody} }} }}"
+    rows = [(s, p, o, "u:g") for s, p, o in triples]
+    quads = spark.createDataFrame(
+        rows or [("<u:none>", "<u:none>", "<u:none>", "u:none")],
+        "subj string, pred string, obj string, graph string",
+    )
+    if not rows:
+        quads = quads.where("graph = 'u:g'")
+    q = _Parser(query).parse_query()
+    df = _compile_group(quads, q.group)
+    got = Counter(
+        tuple(sorted((k, v) for k, v in r.asDict().items() if v is not None))
+        for r in df.collect()
+    )
+    want = Counter(
+        tuple(sorted(s.items()))
+        for s in naive_bgp(triples, a) + naive_bgp(triples, b)
+    )
+    assert got == want
