@@ -1930,6 +1930,37 @@ SELECT c AS subj, '{RDF_TYPE}' AS pred, '<{G}#RegionMember>' AS obj FROM sol
 """
 
 
+_SPARQL_GROUP = f"""
+PREFIX t: <{G}#>
+SELECT ?rlabel (COUNT(?supplier) AS ?n_suppliers) WHERE {{ GRAPH <{G}> {{
+    ?supplier a t:Supplier ;
+              t:inNation ?nat .
+    ?nat t:locatedIn ?reg .
+    ?reg rdfs:label ?rlabel .
+}} }} GROUP BY ?rlabel"""
+
+
+def q_sparql_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GROUP BY aggregation (suppliers per region label): the BGP
+    joins resolve distributed, then one hash aggregate on the grouping
+    variable — COUNT compiles to the same partial/final aggregate any
+    DataFrame count gets."""
+    from ontograph_spark.query import sparql_select
+
+    return sparql_select(quads_df(spark, sf_dir), _SPARQL_GROUP)
+
+
+_SQL_SPARQL_GROUP = f"""{_W}
+SELECT rl.obj AS rlabel, count(*) AS n_suppliers
+FROM quads ty
+JOIN quads innat ON innat.subj = ty.subj AND innat.pred = '<{G}#inNation>'
+JOIN quads loc ON loc.subj = innat.obj AND loc.pred = '<{G}#locatedIn>'
+JOIN quads rl ON rl.subj = loc.obj AND rl.pred = '{LABEL}'
+WHERE ty.pred = '{RDF_TYPE}' AND ty.obj = '<{G}#Supplier>'
+GROUP BY rl.obj
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -1999,6 +2030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_optional": q_sparql_optional,
         "sparql_filter": q_sparql_filter,
         "sparql_construct": q_sparql_construct,
+        "sparql_group": q_sparql_group,
     }
 
 
@@ -2059,6 +2091,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_optional": _SQL_SPARQL_OPTIONAL,
         "sparql_filter": _SQL_SPARQL_FILTER,
         "sparql_construct": _SQL_SPARQL_CONSTRUCT,
+        "sparql_group": _SQL_SPARQL_GROUP,
         # multimodal: the Arrow mapInPandas stages aren't SQL-expressible,
         # but their input is a deterministic fixed-size synth table, so
         # the rollups are golden VALUES pins (derived in pure Python,

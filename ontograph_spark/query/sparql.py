@@ -13,7 +13,9 @@ generates — pinned by tests/test_sparql_query.py which feeds
 into this engine):
 
 * ``PREFIX`` declarations + prefixed names + ``a`` ≡ ``rdf:type``;
-* ``SELECT [DISTINCT] ?v … | * | (COUNT([DISTINCT] *|?v) AS ?n)``;
+* ``SELECT [DISTINCT] ?v … | * | (COUNT([DISTINCT] *|?v) AS ?n)``, with
+  ``GROUP BY ?v …`` for grouped counts (mixed ``?var``/``COUNT`` entries;
+  one hash aggregate, ``ORDER BY``/``LIMIT`` after it give top-k groups);
 * basic graph patterns with ``;`` / ``,`` predicate-object list sugar;
 * ``GRAPH <uri> { … }`` / ``GRAPH ?g { … }`` scoping;
 * ``FILTER`` with ``= != < <= > >= && || !``, ``BOUND(?v)``, the string
@@ -155,8 +157,12 @@ class Group:
 class Query:
     kind: str  # "select" | "ask" | "construct"
     group: Group
-    projection: list[str] | None = None  # None = *
-    count: tuple[str, str | None, bool] | None = None  # (as_var, count_var, distinct)
+    projection: list[str] | None = None  # plain projected vars; None = *
+    #: aggregate projections: (as_var, count_var | None for *, distinct)
+    counts: list[tuple[str, str | None, bool]] = field(default_factory=list)
+    #: output column order as written in the SELECT clause
+    proj_order: list[str] = field(default_factory=list)
+    group_by: list[str] = field(default_factory=list)
     distinct: bool = False
     order: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     limit: int | None = None
@@ -283,40 +289,24 @@ class _Parser:
         if self.at_kw("DISTINCT"):
             self.next()
             q.distinct = True
-        proj: list[str] = []
         if self.at_op("*"):
             self.next()
             q.projection = None
-        elif self.at_op("("):
-            self.next()
-            self.expect_kw("COUNT")
-            self.expect_op("(")
-            cdistinct = False
-            if self.at_kw("DISTINCT"):
-                self.next()
-                cdistinct = True
-            cvar: str | None = None
-            if self.at_op("*"):
-                self.next()
-            else:
-                kind, text = self.next()
-                if kind != "VAR":
-                    raise SparqlSyntaxError(f"COUNT of {text!r} unsupported")
-                cvar = text[1:]
-            self.expect_op(")")
-            self.expect_kw("AS")
-            kind, text = self.next()
-            if kind != "VAR":
-                raise SparqlSyntaxError("COUNT needs (… AS ?var)")
-            self.expect_op(")")
-            q.count = (text[1:], cvar, cdistinct)
         else:
+            proj: list[str] = []
             while True:
                 t = self.peek()
-                if t is None or t[0] != "VAR":
+                if t is not None and t[0] == "VAR":
+                    name = self.next()[1][1:]
+                    proj.append(name)
+                    q.proj_order.append(name)
+                elif t is not None and t[0] == "OP" and t[1] == "(":
+                    entry = self._parse_count_entry()
+                    q.counts.append(entry)
+                    q.proj_order.append(entry[0])
+                else:
                     break
-                proj.append(self.next()[1][1:])
-            if not proj:
+            if not q.proj_order:
                 raise SparqlSyntaxError("SELECT needs ?vars, * or (COUNT … AS ?v)")
             q.projection = proj
         if self.at_kw("WHERE"):
@@ -326,6 +316,31 @@ class _Parser:
         if self.peek() is not None:
             raise SparqlSyntaxError(f"trailing tokens at {self.peek()}")
         return q
+
+    def _parse_count_entry(self) -> tuple[str, str | None, bool]:
+        """``(COUNT([DISTINCT] *|?v) AS ?alias)`` — the aggregate form."""
+        self.expect_op("(")
+        self.expect_kw("COUNT")
+        self.expect_op("(")
+        cdistinct = False
+        if self.at_kw("DISTINCT"):
+            self.next()
+            cdistinct = True
+        cvar: str | None = None
+        if self.at_op("*"):
+            self.next()
+        else:
+            kind, text = self.next()
+            if kind != "VAR":
+                raise SparqlSyntaxError(f"COUNT of {text!r} unsupported")
+            cvar = text[1:]
+        self.expect_op(")")
+        self.expect_kw("AS")
+        kind, text = self.next()
+        if kind != "VAR":
+            raise SparqlSyntaxError("COUNT needs (… AS ?var)")
+        self.expect_op(")")
+        return (text[1:], cvar, cdistinct)
 
     def _parse_modifiers(self, q: Query) -> None:
         while True:
@@ -347,6 +362,13 @@ class _Parser:
                         break
                 if not q.order:
                     raise SparqlSyntaxError("empty ORDER BY")
+            elif self.at_kw("GROUP"):
+                self.next()
+                self.expect_kw("BY")
+                while self.peek() is not None and self.peek()[0] == "VAR":
+                    q.group_by.append(self.next()[1][1:])
+                if not q.group_by:
+                    raise SparqlSyntaxError("empty GROUP BY")
             elif self.at_kw("LIMIT"):
                 self.next()
                 q.limit = int(self.next()[1])
@@ -709,20 +731,40 @@ def sparql_select(quads: DataFrame, query: str) -> DataFrame:
     if q.kind != "select":
         raise SparqlSyntaxError("use sparql_ask for ASK queries")
     df = _compile_group(quads, q.group)
-    if q.count is not None:
-        as_var, cvar, cdistinct = q.count
-        if cvar is None:
-            agg = (
-                F.count_distinct(*[F.col(c) for c in df.columns])
-                if cdistinct
-                else F.count(F.lit(1))
-            )
+    if q.counts:
+        aggs = []
+        for as_var, cvar, cdistinct in q.counts:
+            if cvar is None:
+                agg = (
+                    F.count_distinct(*[F.col(c) for c in df.columns])
+                    if cdistinct
+                    else F.count(F.lit(1))
+                )
+            else:
+                if cvar not in df.columns:
+                    raise SparqlSyntaxError(f"COUNT of unbound ?{cvar}")
+                agg = F.count_distinct(cvar) if cdistinct else F.count(cvar)
+            aggs.append(agg.alias(as_var))
+        if q.group_by:
+            missing = [v for v in q.group_by if v not in df.columns]
+            if missing:
+                raise SparqlSyntaxError(f"GROUP BY of unbound vars {missing}")
+            stray = [v for v in (q.projection or []) if v not in q.group_by]
+            if stray:
+                raise SparqlSyntaxError(
+                    f"projected vars {stray} must appear in GROUP BY"
+                )
+            df = df.groupBy(*q.group_by).agg(*aggs)
         else:
-            if cvar not in df.columns:
-                raise SparqlSyntaxError(f"COUNT of unbound ?{cvar}")
-            agg = F.count_distinct(cvar) if cdistinct else F.count(cvar)
-        return df.agg(agg.alias(as_var))
-    if q.projection is not None:
+            if q.projection:
+                raise SparqlSyntaxError(
+                    f"plain ?vars {q.projection} next to COUNT need GROUP BY"
+                )
+            df = df.agg(*aggs)
+        df = df.select(*q.proj_order)
+    elif q.group_by:
+        raise SparqlSyntaxError("GROUP BY needs an aggregate projection")
+    elif q.projection is not None:
         missing = [v for v in q.projection if v not in df.columns]
         if missing:
             raise SparqlSyntaxError(f"projection of unbound vars {missing}")

@@ -333,3 +333,31 @@ def test_filter_builtin_errors(store):
         sparql_select(store.df(), "SELECT ?o WHERE { ?s ?p ?o FILTER(REGEX(?o, ?o)) }")
     with pytest.raises(SparqlSyntaxError):
         sparql_select(store.df(), "SELECT ?o WHERE { ?s ?p ?o FILTER(LANG(?x) = \"de\") }")
+
+
+def test_group_by_count(store):
+    q = f"""
+    SELECT ?s (COUNT(?o) AS ?n) WHERE {{ ?s ?p ?o }}
+    GROUP BY ?s ORDER BY DESC(?n) ASC(?s)"""
+    rows = [tuple(r) for r in sparql_select(store.df(), q).collect()]
+    # '#' < '>' so "<…#c>" sorts before the bare "<…>" on the ASC tiebreak
+    assert rows == [(f"<{U}#c>", 3), (f"<{U}>", 3), (f"<{U}#a>", 1)]
+
+
+def test_group_by_count_distinct_and_limit(store):
+    q = f"""
+    SELECT ?s (COUNT(DISTINCT ?p) AS ?preds) WHERE {{ ?s ?p ?o }}
+    GROUP BY ?s ORDER BY DESC(?preds) ASC(?s) LIMIT 1"""
+    rows = [tuple(r) for r in sparql_select(store.df(), q).collect()]
+    assert rows == [(f"<{U}#c>", 3)]  # rel-3, rel-4, rel-5
+
+
+def test_group_by_errors(store):
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(store.df(), "SELECT ?s ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?s")
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(store.df(), "SELECT ?s WHERE { ?s ?p ?o } GROUP BY ?s")
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(store.df(), "SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ?p ?o }")
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(store.df(), "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?z")
