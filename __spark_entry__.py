@@ -1961,6 +1961,140 @@ GROUP BY rl.obj
 """
 
 
+_SPARQL_PATH = f"""
+PREFIX t: <{G}#>
+SELECT DISTINCT ?c ?dest WHERE {{ GRAPH <{G}> {{
+    ?c a t:Customer .
+    ?c (t:inNation|t:locatedIn)+ ?dest .
+}} }}"""
+
+
+def q_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 property path (alternation + one-or-more closure):
+    everything a customer transitively reaches over inNation/locatedIn —
+    its nation (1 hop) and that nation's region (2 hops). The closure is
+    the same iterative frontier expansion as k_hop_reachability: one
+    hash equi-join + one anti-join per round, localCheckpoint-truncated
+    lineage, O(diameter) rounds (query/sparql.py:_transitive_closure).
+    The oracle is a DuckDB recursive CTE over the same edge set."""
+    from ontograph_spark.query import sparql_select
+
+    return sparql_select(quads_df(spark, sf_dir), _SPARQL_PATH)
+
+
+_SQL_SPARQL_PATH = f"""{_W.replace("WITH ", "WITH RECURSIVE ", 1)},
+pe AS (
+  SELECT subj AS src, obj AS dst FROM quads
+  WHERE pred IN ('<{G}#inNation>', '<{G}#locatedIn>')
+),
+preach AS (
+  SELECT src, dst FROM pe
+  UNION
+  SELECT preach.src, pe.dst FROM preach JOIN pe ON preach.dst = pe.src
+)
+SELECT DISTINCT ty.subj AS c, preach.dst AS dest
+FROM quads ty
+JOIN preach ON preach.src = ty.subj
+WHERE ty.pred = '{RDF_TYPE}' AND ty.obj = '<{G}#Customer>'
+"""
+
+
+_SPARQL_AGG = f"""
+PREFIX t: <{G}#>
+SELECT ?nlabel (COUNT(?s) AS ?n_suppliers) (SUM(?bal) AS ?total_bal)
+       (AVG(?bal) AS ?avg_bal) (MIN(?bal) AS ?min_bal) (MAX(?bal) AS ?max_bal)
+WHERE {{ GRAPH <{G}> {{
+    ?s a t:Supplier ;
+       t:inNation ?nat ;
+       t:acctBal ?bal .
+    ?nat rdfs:label ?nlabel .
+}} }} GROUP BY ?nlabel"""
+
+
+def q_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SPARQL aggregate set (COUNT/SUM/AVG/MIN/MAX) grouped by
+    nation label over typed xsd:decimal literals. The numeric operand is
+    the literal's value try_cast to decimal(38,6), so the partial
+    aggregation is exact and order-independent across partitions —
+    no float-summation drift between Spark and the DuckDB oracle; the
+    result is emitted as a double (query/sparql.py:_agg_column)."""
+    from ontograph_spark.query import sparql_select
+
+    return sparql_select(quads_df(spark, sf_dir), _SPARQL_AGG)
+
+
+_BAL_DEC = "TRY_CAST(regexp_extract(b.obj, '\"([^\"]*)\"', 1) AS DECIMAL(38,6))"
+
+_SQL_SPARQL_AGG = f"""{_W}
+SELECT nl.obj AS nlabel,
+       count(*) AS n_suppliers,
+       CAST(sum({_BAL_DEC}) AS DOUBLE) AS total_bal,
+       CAST(sum({_BAL_DEC}) AS DOUBLE) / count({_BAL_DEC}) AS avg_bal,
+       CAST(min({_BAL_DEC}) AS DOUBLE) AS min_bal,
+       CAST(max({_BAL_DEC}) AS DOUBLE) AS max_bal
+FROM quads ty
+JOIN quads innat ON innat.subj = ty.subj AND innat.pred = '<{G}#inNation>'
+JOIN quads b ON b.subj = ty.subj AND b.pred = '<{G}#acctBal>'
+JOIN quads nl ON nl.subj = innat.obj AND nl.pred = '{LABEL}'
+WHERE ty.pred = '{RDF_TYPE}' AND ty.obj = '<{G}#Supplier>'
+GROUP BY nl.obj
+"""
+
+
+_SPARQL_BIND = f"""
+PREFIX t: <{G}#>
+SELECT ?r ?tag WHERE {{ GRAPH <{G}> {{
+    ?r a t:Region ;
+       rdfs:label ?l .
+    BIND(CONCAT("region:", STR(?l)) AS ?tag)
+}} }}"""
+
+
+def q_sparql_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIND as project-extend: derive a plain-literal tag from each
+    region's label with CONCAT + the STR accessor — one extra projected
+    Column, no shuffle beyond the BGP join (query/sparql.py:_bind_value)."""
+    from ontograph_spark.query import sparql_select
+
+    return sparql_select(quads_df(spark, sf_dir), _SPARQL_BIND)
+
+
+_SQL_SPARQL_BIND = f"""{_W}
+SELECT ty.subj AS r,
+       '"region:' || regexp_extract(l.obj, '"([^"]*)"', 1) || '"' AS tag
+FROM quads ty
+JOIN quads l ON l.subj = ty.subj AND l.pred = '{LABEL}'
+WHERE ty.pred = '{RDF_TYPE}' AND ty.obj = '<{G}#Region>'
+"""
+
+
+_SPARQL_MINUS = f"""
+PREFIX t: <{G}#>
+SELECT ?n WHERE {{ GRAPH <{G}> {{
+    ?n a t:Nation
+    MINUS {{ ?n t:locatedIn t:region-2 }}
+}} }}"""
+
+
+def q_sparql_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINUS (SPARQL §8.3) compiled to a hash anti-join on the shared
+    variable: nations not located in region 2 (20 of the 25)."""
+    from ontograph_spark.query import sparql_select
+
+    return sparql_select(quads_df(spark, sf_dir), _SPARQL_MINUS)
+
+
+_SQL_SPARQL_MINUS = f"""{_W}
+SELECT ty.subj AS n
+FROM quads ty
+WHERE ty.pred = '{RDF_TYPE}' AND ty.obj = '<{G}#Nation>'
+  AND ty.subj NOT IN (
+    SELECT subj FROM quads
+    WHERE pred = '<{G}#locatedIn>' AND obj = '<{G}#region-2>'
+  )
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2031,6 +2165,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_filter": q_sparql_filter,
         "sparql_construct": q_sparql_construct,
         "sparql_group": q_sparql_group,
+        "sparql_path": q_sparql_path,
+        "sparql_agg": q_sparql_agg,
+        "sparql_bind": q_sparql_bind,
+        "sparql_minus": q_sparql_minus,
     }
 
 
@@ -2092,6 +2230,10 @@ def oracle_sql() -> dict[str, str]:
         "sparql_filter": _SQL_SPARQL_FILTER,
         "sparql_construct": _SQL_SPARQL_CONSTRUCT,
         "sparql_group": _SQL_SPARQL_GROUP,
+        "sparql_path": _SQL_SPARQL_PATH,
+        "sparql_agg": _SQL_SPARQL_AGG,
+        "sparql_bind": _SQL_SPARQL_BIND,
+        "sparql_minus": _SQL_SPARQL_MINUS,
         # multimodal: the Arrow mapInPandas stages aren't SQL-expressible,
         # but their input is a deterministic fixed-size synth table, so
         # the rollups are golden VALUES pins (derived in pure Python,

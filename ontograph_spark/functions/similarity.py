@@ -191,14 +191,24 @@ def _seed_centroids(v: DataFrame, k: int, stride: int | None = None) -> DataFram
     """Deterministic seed set: vectors with ``id % stride == 0``, capped
     at ``k`` in id order (limit alone isn't deterministic). The default
     stride targets the ~1k-id bench corpus; pass ``stride`` explicitly
-    for other id ranges."""
-    return (
+    for other id ranges. Raises when the stride selects no ids at all —
+    otherwise every downstream assignment would silently be ``cid=NULL``
+    (the argmax fold over an empty centroid array returns its init)."""
+    seeds = (
         v.withColumn("_m", F.col("neighbor_id") % F.lit(stride or max(1, 997 // k)))
         .where(F.col("_m") == 0)
         .orderBy("neighbor_id")
         .limit(k)
         .select(F.col("neighbor_id").alias("cid"), F.col("nv").alias("cv"))
     )
+    if seeds.isEmpty():
+        raise ValueError(
+            "k-means seed set is empty: no vector id is a multiple of the "
+            f"seed stride ({stride or max(1, 997 // k)}). The default stride "
+            "assumes ids near 0..1000 — pass seed_stride to match your id "
+            "range (e.g. 1 to seed from the first k ids)."
+        )
+    return seeds
 
 
 def _lloyd_mean(assigned: DataFrame) -> DataFrame:
@@ -246,7 +256,12 @@ def kmeans_assign(
 
     At 100 TB the vector stream is never shuffled — each iteration is
     one scan + one k×dim-row aggregate; for many iterations checkpoint
-    the (tiny) centroid table between rounds to keep plans bounded."""
+    the (tiny) centroid table between rounds to keep plans bounded.
+
+    ``seed_stride``: seeds are ids divisible by the stride (default
+    ``997 // k``, tuned for ids near 0..1000). For other id ranges pass
+    an explicit stride; an empty seed set raises instead of silently
+    assigning every row a null cluster."""
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("nv")
     )

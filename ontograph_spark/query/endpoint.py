@@ -156,7 +156,7 @@ class LocalSparqlEndpoint:
             del self._stores[uri]
             return
         group = parse_group_text(rest)
-        if group.filters or group.optionals or group.unions:
+        if not group.is_plain_triples():
             raise SparqlSyntaxError(f"{form} body must be plain triples")
         if form in ("INSERT DATA", "DELETE DATA"):
             by_graph = self._data_triples(group, form)

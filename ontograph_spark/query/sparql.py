@@ -1,4 +1,4 @@
-"""SPARQL SELECT/ASK answering compiled to DataFrame algebra.
+"""SPARQL SELECT/ASK/CONSTRUCT answering compiled to DataFrame algebra.
 
 The reference can only *issue* SPARQL — every Blazegraph operator builds a
 query string and POSTs it to an endpoint that does the actual matching
@@ -8,39 +8,71 @@ the distributed quad table ``(subj, pred, obj, graph)``, so a reference
 user's existing SPARQL keeps working with no triple store server at all.
 
 Supported subset (a superset of every query string the reference ever
-generates — pinned by tests/test_sparql_query.py which feeds
-``SparqlQuadStore.select_sparql/ask_sparql/count_sparql`` output straight
-into this engine):
+generates — the reference's four emitted forms, including ``ASK WHERE``,
+``FROM <g>`` dataset clauses and ``SELECT ?s ?p ?o`` with constant-filled
+pattern slots, are transcribed verbatim and pinned in
+tests/test_sparql_query.py alongside the repo's own
+``SparqlQuadStore.select_sparql/ask_sparql/count_sparql`` builder output):
 
 * ``PREFIX`` declarations + prefixed names + ``a`` ≡ ``rdf:type``;
-* ``SELECT [DISTINCT] ?v … | * | (COUNT([DISTINCT] *|?v) AS ?n)``, with
-  ``GROUP BY ?v …`` for grouped counts (mixed ``?var``/``COUNT`` entries;
-  one hash aggregate, ``ORDER BY``/``LIMIT`` after it give top-k groups);
+* ``SELECT [DISTINCT] ?v … | * | (AGG([DISTINCT] *|?v) AS ?n)`` where
+  ``AGG`` is COUNT / SUM / AVG / MIN / MAX, with ``GROUP BY ?v …`` for
+  grouped aggregates (mixed ``?var``/aggregate entries; one hash
+  aggregate, ``ORDER BY``/``LIMIT`` after it give top-k groups). A
+  projected variable the pattern never binds is a null column (SPARQL
+  unbound), which is how the reference's fixed-slot ``SELECT ?s ?p ?o``
+  strings answer;
+* ``FROM <iri>`` dataset clauses: patterns outside an explicit ``GRAPH``
+  block are scoped to the named graph(s) (several FROMs = the union);
 * basic graph patterns with ``;`` / ``,`` predicate-object list sugar;
+* **property paths** in the predicate position: ``iri+`` ``iri*``
+  ``iri?``, inverse ``^iri``, sequence ``p1/p2``, alternative ``p1|p2``
+  and parenthesised combinations — compiled to iterative distributed
+  closure (see "Scale shape" below);
 * ``GRAPH <uri> { … }`` / ``GRAPH ?g { … }`` scoping;
 * ``FILTER`` with ``= != < <= > >= && || !``, ``BOUND(?v)``, the string
   tests ``REGEX(?v, "pat"[, "i"])`` / ``STRSTARTS`` / ``CONTAINS`` (over
   the literal's value), and the accessors ``LANG(?v)`` / ``DATATYPE(?v)``
   / ``STR(?v)`` in comparisons;
-* ``OPTIONAL { … }`` and ``{ … } UNION { … }``;
-* ``ORDER BY [ASC|DESC](?v)``, ``LIMIT``, ``OFFSET``;
-* ``ASK { … }``;
-* ``CONSTRUCT { template } WHERE { … }`` (the reference's Turtle-export
-  form) via :func:`sparql_construct`.
+* ``BIND(expr AS ?v)`` where ``expr`` is a variable, a constant, an
+  accessor (``STR``/``LANG``/``DATATYPE``) or ``CONCAT(…)`` of string
+  operands — applied at the end of its group, before that group's
+  FILTERs (a documented simplification of SPARQL's position-sensitive
+  BIND; every reference-shaped and test query satisfies it);
+* ``OPTIONAL { … }`` (nested OPTIONALs use SPARQL's
+  unbound-is-compatible left join — see below), ``{ … } UNION { … }``,
+  and ``MINUS { … }`` (an anti-join on shared variables; a MINUS group
+  sharing no variable removes nothing, per SPARQL §8.3);
+* ``ORDER BY [ASC|DESC](?v)``, ``LIMIT``, ``OFFSET``; ordering is
+  value-aware: bindings that parse as numbers order numerically first,
+  with the full encoded term as a deterministic tiebreaker, so
+  ``"9"^^xsd:decimal`` sorts before ``"10"^^xsd:decimal`` (aggregate
+  result columns are already numeric and sort directly);
+* ``ASK [WHERE] { … }`` (the reference emits both spellings);
+* ``CONSTRUCT { template } [FROM <g>] WHERE { … }`` (the reference's
+  Turtle-export form) via :func:`sparql_construct`.
 
-Out of scope (documented, not silently wrong): property paths, subqueries,
-``GROUP BY`` (only the reference's bare ``COUNT`` projection), blank nodes
-(unsupported across the reference too — SURVEY.md §2.1), ``BIND``,
-``MINUS``, and SPARQL's full operator-precedence value type system.
-OPTIONAL/UNION compile relationally (left join / union on shared
-variable columns): a variable that later joins must be BOUND wherever it
-appears — SPARQL's unbound-is-compatible-with-anything rule for
-solutions from nested OPTIONALs or partial UNION branches is not
-implemented (those solutions drop at the join instead of matching
-everything). Single-level OPTIONALs over BGPs — the negation idiom and
-every common use — bind all their variables, where the compilation is
-exact (property-pinned in tests/test_sparql_property.py).
-Comparison semantics here: the constant operand picks the mode — numeric
+Out of scope (documented, not silently wrong): subqueries, blank nodes
+(unsupported across the reference too — SURVEY.md §2.1), ``VALUES``,
+``FROM NAMED``, negated property paths (``!iri``), property paths under
+``GRAPH ?var`` (closure per graph binding), and SPARQL's full
+operator-precedence value type system. Non-COUNT aggregates are numeric:
+the operand is the literal's value ``try_cast`` to ``decimal(38,6)``
+(exact, order-independent partial aggregation — no float-summation
+nondeterminism across partitions) and the result is emitted as a double;
+non-numeric bindings are skipped (nulls), mirroring the engine's
+comparison semantics below.
+
+OPTIONAL compiles to a left join on shared variable columns. When a
+shared variable can be *unbound* on either side (it came from a nested
+OPTIONAL, a partial UNION branch, or a BIND), the join switches to
+SPARQL's compatibility semantics (§ "leftjoin"): per shared variable
+``left = right OR left IS NULL OR right IS NULL``, with the surviving
+binding ``coalesce``d — exact, at the cost of a non-equi join for that
+one step (tracked per-variable, so the common all-bound case keeps the
+plain hash-joinable equi join; property-pinned in
+tests/test_sparql_property.py including the nested case).
+Comparison semantics: the constant operand picks the mode — numeric
 constant ⇒ both sides as doubles via the literal's value (``try_cast``;
 non-numeric bindings compare as null ⇒ row dropped, matching SPARQL's
 type-error-⇒-false), plain string constant ⇒ the literal's value, IRI or
@@ -55,8 +87,18 @@ variable positions survive column pruning. The BGP joins on shared
 variable columns, most-constrained pattern first, greedily extending
 along shared variables so no intermediate is a cartesian unless the query
 itself is; AQE then picks broadcast sides at runtime (selective patterns
-produce tiny scans). No driver-side matching anywhere — ASK is a
-``limit(1)`` probe, COUNT is one aggregate.
+produce tiny scans). Property-path closure (``+``/``*``) is the same
+iterative frontier expansion as functions/graph_algo.py:
+k_hop_reachability — one hash equi-join + one anti-join per round,
+``localCheckpoint`` truncating lineage, O(diameter) rounds; a path with a
+constant endpoint seeds the frontier from that single node instead of
+materialising the whole closure. No driver-side matching anywhere — ASK
+is a ``limit(1)`` probe, COUNT is one aggregate; the only driver
+participation is the per-round emptiness probe of the closure loop
+(inherent to any iterative fixpoint, same as pagerank/CC). An OPTIONAL
+sharing no variables with its left side compiles to a
+BroadcastNestedLoopJoin (``join(lit(True), "left")``) — semantically
+required, quadratic by nature; usually a query typo, so worth knowing.
 """
 
 from __future__ import annotations
@@ -83,16 +125,19 @@ class SparqlSyntaxError(ValueError):
 # tokenizer
 # --------------------------------------------------------------------------
 
+# PNAME local part must not end in '.' (SPARQL PN_LOCAL) so that
+# "?s a t:Supplier." tokenizes the '.' as the triple terminator instead of
+# silently parsing the IRI <…#Supplier.>.
 _TOKEN_RE = re.compile(
     r"""
       (?P<WS>\s+|\#[^\n]*)
     | (?P<IRI><[^<>\s]*>)
     | (?P<STRING>"[^"]*"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^(?:<[^<>\s]*>|[A-Za-z_][\w.-]*:[\w.-]+))?)
     | (?P<NUMBER>[+-]?\d+(?:\.\d+)?)
-    | (?P<PNAME>[A-Za-z_][\w-]*:[\w.-]*|:[\w.-]+)
+    | (?P<PNAME>[A-Za-z_][\w-]*:(?:[\w.-]*[\w-])?|:[\w.-]*[\w-])
     | (?P<VAR>\?\w+)
     | (?P<NAME>[A-Za-z_]\w*)
-    | (?P<OP><=|>=|!=|&&|\|\||[{}().;,=<>!*])
+    | (?P<OP><=|>=|!=|&&|\|\||[{}().;,=<>!*+/|^?])
     """,
     re.X,
 )
@@ -146,11 +191,39 @@ class Pattern:
 
 
 @dataclass
+class PathPattern:
+    """A triple pattern whose predicate is a property-path expression
+    (path AST: ("link", term) | ("inv", node) | ("seq", [nodes]) |
+    ("alt", [nodes]) | ("plus", node) | ("star", node) |
+    ("zeroone", node))."""
+
+    s: Slot
+    path: tuple
+    o: Slot
+    g: Slot | None = None
+
+
+@dataclass
 class Group:
     patterns: list[Pattern] = field(default_factory=list)
+    paths: list[PathPattern] = field(default_factory=list)
     filters: list = field(default_factory=list)  # expression ASTs
+    binds: list[tuple[str, tuple]] = field(default_factory=list)
     optionals: list["Group"] = field(default_factory=list)
     unions: list[list["Group"]] = field(default_factory=list)
+    minuses: list["Group"] = field(default_factory=list)
+
+    def is_plain_triples(self) -> bool:
+        """True when the group is a bare triple block (CONSTRUCT
+        templates, INSERT/DELETE DATA bodies)."""
+        return not (
+            self.paths
+            or self.filters
+            or self.binds
+            or self.optionals
+            or self.unions
+            or self.minuses
+        )
 
 
 @dataclass
@@ -158,8 +231,8 @@ class Query:
     kind: str  # "select" | "ask" | "construct"
     group: Group
     projection: list[str] | None = None  # plain projected vars; None = *
-    #: aggregate projections: (as_var, count_var | None for *, distinct)
-    counts: list[tuple[str, str | None, bool]] = field(default_factory=list)
+    #: aggregate projections: (as_var, func, agg_var | None for *, distinct)
+    aggs: list[tuple[str, str, str | None, bool]] = field(default_factory=list)
     #: output column order as written in the SELECT clause
     proj_order: list[str] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
@@ -168,6 +241,11 @@ class Query:
     limit: int | None = None
     offset: int | None = None
     template: list[Pattern] = field(default_factory=list)  # CONSTRUCT only
+    #: FROM <iri> default-graph scope (empty = all graphs)
+    dataset: list[str] = field(default_factory=list)
+
+
+_AGG_FUNCS = ("COUNT", "SUM", "AVG", "MIN", "MAX")
 
 
 # --------------------------------------------------------------------------
@@ -244,7 +322,85 @@ class _Parser:
             return f"{m.group(1)}^^{self.expand_pname(m.group(2))}"
         return tok
 
+    # -- property paths -----------------------------------------------------
+
+    def parse_pred(self) -> Slot | tuple[str, tuple]:
+        """Predicate position: a ?var, a plain IRI, or a property path.
+        Plain single-IRI paths collapse back to a ("term", …) slot so the
+        ordinary pushed-scan compilation applies."""
+        t = self.peek()
+        if t is not None and t[0] == "VAR":
+            return self.parse_slot()
+        node = self._parse_path()
+        if node[0] == "link":
+            return ("term", node[1])
+        return ("path", node)
+
+    def _parse_path(self) -> tuple:
+        alts = [self._parse_path_seq()]
+        while self.at_op("|"):
+            self.next()
+            alts.append(self._parse_path_seq())
+        return alts[0] if len(alts) == 1 else ("alt", alts)
+
+    def _parse_path_seq(self) -> tuple:
+        steps = [self._parse_path_step()]
+        while self.at_op("/"):
+            self.next()
+            steps.append(self._parse_path_step())
+        return steps[0] if len(steps) == 1 else ("seq", steps)
+
+    def _parse_path_step(self) -> tuple:
+        inv = False
+        if self.at_op("^"):
+            self.next()
+            inv = True
+        if self.at_op("("):
+            self.next()
+            node = self._parse_path()
+            self.expect_op(")")
+        else:
+            kind, text = self.next()
+            if kind == "IRI":
+                node = ("link", text)
+            elif kind == "PNAME":
+                node = ("link", self.expand_pname(text))
+            elif kind == "NAME" and text == "a":
+                node = ("link", f"<{vocab.RDF_TYPE}>")
+            else:
+                raise SparqlSyntaxError(f"expected path element, got {text!r}")
+        if inv:
+            node = ("inv", node)
+        if self.at_op("+"):
+            self.next()
+            node = ("plus", node)
+        elif self.at_op("*"):
+            self.next()
+            node = ("star", node)
+        elif self.at_op("?"):
+            self.next()
+            node = ("zeroone", node)
+        return node
+
     # -- query ---------------------------------------------------------------
+
+    def _parse_dataset(self) -> list[str]:
+        """``FROM <iri>`` dataset clauses (the reference's COUNT/CONSTRUCT
+        forms, blazegraph_store.go:329,398). ``FROM NAMED`` is out of
+        scope and raises."""
+        out: list[str] = []
+        while self.at_kw("FROM"):
+            self.next()
+            if self.at_kw("NAMED"):
+                raise SparqlSyntaxError("FROM NAMED is not supported")
+            kind, text = self.next()
+            if kind == "IRI":
+                out.append(text[1:-1])
+            elif kind == "PNAME":
+                out.append(self.expand_pname(text)[1:-1])
+            else:
+                raise SparqlSyntaxError(f"FROM needs an IRI, got {text!r}")
+        return out
 
     def parse_query(self) -> Query:
         while self.at_kw("PREFIX"):
@@ -260,25 +416,29 @@ class _Parser:
             self.prefixes[pname.split(":", 1)[0]] = iri[1:-1]
         if self.at_kw("ASK"):
             self.next()
-            q = Query(kind="ask", group=self.parse_group())
+            dataset = self._parse_dataset()
+            if self.at_kw("WHERE"):  # "ASK WHERE { … }", blazegraph_store.go:294
+                self.next()
+            q = Query(kind="ask", group=self.parse_group(), dataset=dataset)
             if self.peek() is not None:
                 raise SparqlSyntaxError(f"trailing tokens at {self.peek()}")
             return q
         if self.at_kw("CONSTRUCT"):
             self.next()
             template = self.parse_group()
-            if (
-                template.filters
-                or template.optionals
-                or template.unions
-                or any(p.g is not None for p in template.patterns)
+            if not template.is_plain_triples() or any(
+                p.g is not None for p in template.patterns
             ):
                 raise SparqlSyntaxError(
                     "CONSTRUCT template must be a plain triple block"
                 )
+            dataset = self._parse_dataset()
             self.expect_kw("WHERE")
             q = Query(
-                kind="construct", group=self.parse_group(), template=template.patterns
+                kind="construct",
+                group=self.parse_group(),
+                template=template.patterns,
+                dataset=dataset,
             )
             self._parse_modifiers(q)
             if self.peek() is not None:
@@ -301,14 +461,15 @@ class _Parser:
                     proj.append(name)
                     q.proj_order.append(name)
                 elif t is not None and t[0] == "OP" and t[1] == "(":
-                    entry = self._parse_count_entry()
-                    q.counts.append(entry)
+                    entry = self._parse_agg_entry()
+                    q.aggs.append(entry)
                     q.proj_order.append(entry[0])
                 else:
                     break
             if not q.proj_order:
-                raise SparqlSyntaxError("SELECT needs ?vars, * or (COUNT … AS ?v)")
+                raise SparqlSyntaxError("SELECT needs ?vars, * or (AGG … AS ?v)")
             q.projection = proj
+        q.dataset = self._parse_dataset()
         if self.at_kw("WHERE"):
             self.next()
         q.group = self.parse_group()
@@ -317,10 +478,12 @@ class _Parser:
             raise SparqlSyntaxError(f"trailing tokens at {self.peek()}")
         return q
 
-    def _parse_count_entry(self) -> tuple[str, str | None, bool]:
-        """``(COUNT([DISTINCT] *|?v) AS ?alias)`` — the aggregate form."""
+    def _parse_agg_entry(self) -> tuple[str, str, str | None, bool]:
+        """``(AGG([DISTINCT] *|?v) AS ?alias)`` — COUNT/SUM/AVG/MIN/MAX."""
         self.expect_op("(")
-        self.expect_kw("COUNT")
+        if not self.at_kw(*_AGG_FUNCS):
+            raise SparqlSyntaxError(f"expected aggregate at {self.peek()}")
+        func = self.next()[1].upper()
         self.expect_op("(")
         cdistinct = False
         if self.at_kw("DISTINCT"):
@@ -328,19 +491,21 @@ class _Parser:
             cdistinct = True
         cvar: str | None = None
         if self.at_op("*"):
+            if func != "COUNT":
+                raise SparqlSyntaxError(f"{func}(*) is not valid SPARQL")
             self.next()
         else:
             kind, text = self.next()
             if kind != "VAR":
-                raise SparqlSyntaxError(f"COUNT of {text!r} unsupported")
+                raise SparqlSyntaxError(f"{func} of {text!r} unsupported")
             cvar = text[1:]
         self.expect_op(")")
         self.expect_kw("AS")
         kind, text = self.next()
         if kind != "VAR":
-            raise SparqlSyntaxError("COUNT needs (… AS ?var)")
+            raise SparqlSyntaxError(f"{func} needs (… AS ?var)")
         self.expect_op(")")
-        return (text[1:], cvar, cdistinct)
+        return (text[1:], func, cvar, cdistinct)
 
     def _parse_modifiers(self, q: Query) -> None:
         while True:
@@ -397,9 +562,22 @@ class _Parser:
             elif self.at_kw("FILTER"):
                 self.next()
                 g.filters.append(self._parse_expr())
+            elif self.at_kw("BIND"):
+                self.next()
+                self.expect_op("(")
+                expr = self._parse_bind_expr()
+                self.expect_kw("AS")
+                kind, text = self.next()
+                if kind != "VAR":
+                    raise SparqlSyntaxError("BIND needs (expr AS ?var)")
+                self.expect_op(")")
+                g.binds.append((text[1:], expr))
             elif self.at_kw("OPTIONAL"):
                 self.next()
                 g.optionals.append(self.parse_group(graph=graph))
+            elif self.at_kw("MINUS"):
+                self.next()
+                g.minuses.append(self.parse_group(graph=graph))
             elif self.at_op("{"):
                 branches = [self.parse_group(graph=graph)]
                 while self.at_kw("UNION"):
@@ -419,17 +597,23 @@ class _Parser:
     @staticmethod
     def _merge(g: Group, inner: Group) -> None:
         g.patterns.extend(inner.patterns)
+        g.paths.extend(inner.paths)
         g.filters.extend(inner.filters)
+        g.binds.extend(inner.binds)
         g.optionals.extend(inner.optionals)
         g.unions.extend(inner.unions)
+        g.minuses.extend(inner.minuses)
 
     def _parse_triples_block(self, g: Group, graph: Slot | None) -> None:
         subj = self.parse_slot()
         while True:
-            pred = self.parse_slot()
+            pred = self.parse_pred()
             while True:
                 obj = self.parse_slot()
-                g.patterns.append(Pattern(subj, pred, obj, graph))
+                if pred[0] == "path":
+                    g.paths.append(PathPattern(subj, pred[1], obj, graph))
+                else:
+                    g.patterns.append(Pattern(subj, pred, obj, graph))
                 if self.at_op(","):
                     self.next()
                     continue
@@ -473,6 +657,20 @@ class _Parser:
             op = self.next()[1]
             return ("cmp", op, lhs, self._parse_primary())
         return lhs
+
+    def _parse_bind_expr(self):
+        """A value-producing BIND expression: variable, constant,
+        accessor, or CONCAT of string operands."""
+        if self.at_kw("CONCAT"):
+            self.next()
+            self.expect_op("(")
+            args = [self._parse_primary()]
+            while self.at_op(","):
+                self.next()
+                args.append(self._parse_primary())
+            self.expect_op(")")
+            return ("concat", args)
+        return self._parse_primary()
 
     def _parse_primary(self):
         if self.at_op("("):
@@ -534,7 +732,19 @@ class _Parser:
 _POS_COLS = (("s", "subj"), ("p", "pred"), ("o", "obj"))
 
 
-def _scan(quads: DataFrame, pat: Pattern) -> DataFrame:
+def _graph_cond(g: Slot | None, dataset: list[str]) -> Column | None:
+    """The graph-scope predicate for one pattern: an explicit GRAPH term
+    wins; otherwise the query's FROM dataset (if any) scopes it."""
+    if g is not None and g[0] == "term":
+        return F.col("graph") == F.lit(g[1])
+    if g is None and dataset:
+        if len(dataset) == 1:
+            return F.col("graph") == F.lit(dataset[0])
+        return F.col("graph").isin(dataset)
+    return None
+
+
+def _scan(quads: DataFrame, pat: Pattern, dataset: list[str]) -> DataFrame:
     """One triple pattern → filter + project on the quad table. Constant
     slots become pushable equality predicates; a variable repeated within
     the pattern becomes a position-equality filter; only variable slots
@@ -543,8 +753,11 @@ def _scan(quads: DataFrame, pat: Pattern) -> DataFrame:
     proj: list[Column] = []
     seen: dict[str, str] = {}
     slots = [(attr, col, getattr(pat, attr)) for attr, col in _POS_COLS]
-    if pat.g is not None:
+    if pat.g is not None and pat.g[0] == "var":
         slots.append(("g", "graph", pat.g))
+    gcond = _graph_cond(pat.g, dataset)
+    if gcond is not None:
+        conds.append(gcond)
     for _attr, col, (kind, val) in slots:
         if kind == "term":
             conds.append(F.col(col) == F.lit(val))
@@ -558,19 +771,223 @@ def _scan(quads: DataFrame, pat: Pattern) -> DataFrame:
         df = df.where(c)
     if not proj:
         # all-constant pattern (an existence probe): keep a marker column
-        # so joins/uniona still have a row shape
+        # so joins/unions still have a row shape
         return df.select(F.lit(True).alias("__exists__")).limit(1)
     return df.select(*proj)
 
 
-def _join_shared(left: DataFrame, right: DataFrame, how: str = "inner") -> DataFrame:
+# --------------------------------------------------------------------------
+# property-path compilation
+# --------------------------------------------------------------------------
+
+
+def _scoped(quads: DataFrame, g: Slot | None, dataset: list[str]) -> DataFrame:
+    cond = _graph_cond(g, dataset)
+    return quads.where(cond) if cond is not None else quads
+
+
+def _path_edges(quads: DataFrame, node: tuple, g, dataset) -> DataFrame:
+    """A path expression → its (src, dst) pair relation. link/inv/seq/alt
+    are scans, swaps, equi-joins and unions; plus/star/zeroone go through
+    the iterative closure below."""
+    kind = node[0]
+    if kind == "link":
+        return (
+            _scoped(quads, g, dataset)
+            .where(F.col("pred") == F.lit(node[1]))
+            .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+            .distinct()
+        )
+    if kind == "inv":
+        inner = _path_edges(quads, node[1], g, dataset)
+        return inner.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    if kind == "seq":
+        cur = _path_edges(quads, node[1][0], g, dataset)
+        for step in node[1][1:]:
+            nxt = _path_edges(quads, step, g, dataset)
+            cur = (
+                cur.withColumnRenamed("dst", "__mid")
+                .join(nxt.withColumnRenamed("src", "__mid"), "__mid")
+                .select("src", "dst")
+                .distinct()
+            )
+        return cur
+    if kind == "alt":
+        out = _path_edges(quads, node[1][0], g, dataset)
+        for branch in node[1][1:]:
+            out = out.unionByName(_path_edges(quads, branch, g, dataset))
+        return out.distinct()
+    if kind == "plus":
+        return _transitive_closure(_path_edges(quads, node[1], g, dataset))
+    if kind in ("star", "zeroone"):
+        base = _path_edges(quads, node[1], g, dataset)
+        pairs = _transitive_closure(base) if kind == "star" else base
+        nodes = _graph_nodes(quads, g, dataset)
+        return pairs.unionByName(
+            nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+        ).distinct()
+    raise SparqlSyntaxError(f"unsupported path element {node!r}")
+
+
+def _graph_nodes(quads: DataFrame, g, dataset) -> DataFrame:
+    """All subject/object terms of the scoped graph — the zero-length
+    path's domain (SPARQL 1.1 §9.3: a zero-length path matches every
+    graph term with itself)."""
+    scoped = _scoped(quads, g, dataset)
+    return (
+        scoped.select(F.col("subj").alias("node"))
+        .unionByName(scoped.select(F.col("obj").alias("node")))
+        .distinct()
+    )
+
+
+def _transitive_closure(edges: DataFrame) -> DataFrame:
+    """One-or-more closure of an edge relation: iterative frontier
+    expansion — per round one hash equi-join (frontier ⋈ edges) plus one
+    anti-join against the accumulated pairs, ``localCheckpoint`` per
+    round so lineage stays O(1). O(diameter) rounds; the same loop shape
+    as functions/graph_algo.py:k_hop_reachability. Driver participation
+    is only the per-round emptiness probe, never row data."""
+    edges = edges.distinct().localCheckpoint()
+    result = edges
+    frontier = edges
+    while True:
+        step = (
+            frontier.withColumnRenamed("dst", "__mid")
+            .join(edges.withColumnRenamed("src", "__mid"), "__mid")
+            .select("src", "dst")
+            .distinct()
+            .join(result, ["src", "dst"], "left_anti")
+            .localCheckpoint()
+        )
+        if step.isEmpty():
+            return result
+        result = result.unionByName(step).localCheckpoint()
+        frontier = step
+
+
+def _closure_from(
+    quads: DataFrame, seed: str, node: tuple, g, dataset, *, include_zero: bool
+) -> DataFrame:
+    """Seeded closure for ``<const> path+ ?v`` / ``<const> path* ?v``:
+    BFS from the single constant endpoint instead of materialising the
+    whole closure — the frontier is one node's reach set, so each round
+    is a selective hash join (exactly k_hop_reachability with k=∞)."""
+    base = _path_edges(quads, node, g, dataset).localCheckpoint()
+    spark = quads.sparkSession
+    seeds = spark.createDataFrame([(seed,)], "node string")
+    visited = seeds if include_zero else seeds.limit(0)
+    frontier = seeds
+    while True:
+        step = (
+            frontier.join(base, frontier["node"] == base["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint()
+        )
+        if step.isEmpty():
+            return visited
+        visited = visited.unionByName(step).localCheckpoint()
+        frontier = step
+
+
+def _compile_path_pattern(
+    quads: DataFrame, pp: PathPattern, dataset: list[str]
+) -> DataFrame:
+    """A path triple pattern → a DataFrame of its variable bindings.
+    Constant endpoints seed the closure where possible (plus/star with a
+    bound subject or object); otherwise the full pair relation is
+    filtered/projected like an ordinary scan."""
+    if pp.g is not None and pp.g[0] == "var":
+        raise SparqlSyntaxError(
+            "property paths under GRAPH ?var are not supported"
+        )
+    s_kind, s_val = pp.s
+    o_kind, o_val = pp.o
+    kind = pp.path[0]
+    # seeded fast path: one constant endpoint on a closure path
+    if kind in ("plus", "star") and s_kind == "term" and o_kind == "var":
+        reach = _closure_from(
+            quads, s_val, pp.path[1], pp.g, dataset, include_zero=kind == "star"
+        )
+        return reach.select(F.col("node").alias(o_val))
+    if kind in ("plus", "star") and o_kind == "term" and s_kind == "var":
+        inv = ("inv", pp.path[1])
+        reach = _closure_from(
+            quads, o_val, inv, pp.g, dataset, include_zero=kind == "star"
+        )
+        return reach.select(F.col("node").alias(s_val))
+    pairs = _path_edges(quads, pp.path, pp.g, dataset)
+    conds: list[Column] = []
+    proj: list[Column] = []
+    if s_kind == "term":
+        conds.append(F.col("src") == F.lit(s_val))
+    else:
+        proj.append(F.col("src").alias(s_val))
+    if o_kind == "term":
+        conds.append(F.col("dst") == F.lit(o_val))
+    elif o_kind == "var" and s_kind == "var" and o_val == s_val:
+        conds.append(F.col("dst") == F.col("src"))
+    else:
+        proj.append(F.col("dst").alias(o_val))
+    for c in conds:
+        pairs = pairs.where(c)
+    if not proj:
+        return pairs.select(F.lit(True).alias("__exists__")).limit(1)
+    return pairs.select(*proj)
+
+
+# --------------------------------------------------------------------------
+# joins (with SPARQL unbound-compatibility where needed)
+# --------------------------------------------------------------------------
+
+
+def _join_shared(
+    left: DataFrame,
+    right: DataFrame,
+    how: str = "inner",
+    lnull: set[str] = frozenset(),
+    rnull: set[str] = frozenset(),
+) -> DataFrame:
+    """Join two solution relations on their shared variable columns.
+    When every shared variable is bound on both sides (the common case),
+    this is a plain equi join — hash-joinable, broadcastable. When a
+    shared variable can be unbound on either side (nested OPTIONAL,
+    partial UNION branch, BIND), SPARQL's compatibility rule applies:
+    unbound matches anything and the surviving binding is the bound one —
+    compiled as a per-variable null-tolerant condition + ``coalesce``.
+    That step is a non-equi join (nested-loop at worst); it only triggers
+    for the genuinely-nullable variables, never the hot path."""
+    if "__exists__" in left.columns and "__exists__" in right.columns:
+        # at most one marker column may survive a join (a second copy
+        # would make df.drop remove both and leave a zero-column frame)
+        right = right.drop("__exists__")
     shared = [c for c in left.columns if c in set(right.columns)]
     shared = [c for c in shared if c != "__exists__"]
-    if shared:
+    if not shared:
+        if how == "inner":
+            return left.crossJoin(right)
+        return left.join(right, F.lit(True), "left")
+    nullable_shared = [v for v in shared if v in lnull or v in rnull]
+    if not nullable_shared:
         return left.join(right, on=shared, how=how)
-    if how == "inner":
-        return left.crossJoin(right)
-    return left.join(right, F.lit(True), "left")
+    r2 = right
+    for v in shared:
+        r2 = r2.withColumnRenamed(v, f"__r_{v}")
+    cond = F.lit(True)
+    for v in shared:
+        rv = F.col(f"__r_{v}")
+        lv = left[v]
+        if v in nullable_shared:
+            cond = cond & ((lv == rv) | lv.isNull() | rv.isNull())
+        else:
+            cond = cond & (lv == rv)
+    joined = left.join(r2, cond, how)
+    for v in shared:
+        joined = joined.withColumn(v, F.coalesce(F.col(v), F.col(f"__r_{v}")))
+        joined = joined.drop(f"__r_{v}")
+    return joined
 
 
 def _order_patterns(patterns: list[Pattern]) -> list[Pattern]:
@@ -645,6 +1062,40 @@ def _string_operand(node, columns: set[str]) -> Column:
     raise SparqlSyntaxError(f"{node!r} is not a string-valued operand")
 
 
+def _bind_value(node, columns: set[str]) -> Column:
+    """A BIND expression as a term-encoded string Column: vars pass
+    through (already encoded), accessors/CONCAT re-encode as plain
+    literals, DATATYPE as an IRI, constants as their canonical term."""
+    kind = node[0]
+    if kind == "var":
+        if node[1] not in columns:
+            raise SparqlSyntaxError(f"BIND references unbound ?{node[1]}")
+        return F.col(node[1])
+    if kind == "term":
+        return F.lit(node[1])
+    if kind == "str":
+        return F.lit(f'"{node[1]}"')
+    if kind == "num":
+        v = node[1]
+        if float(v).is_integer():
+            return F.lit(f'"{int(v)}"^^<{vocab.XSD_INTEGER}>')
+        return F.lit(f'"{v}"^^<{vocab.XSD_DECIMAL}>')
+    if kind == "acc":
+        inner = _string_operand(node, columns)
+        if node[1] == "DATATYPE":
+            return F.concat(F.lit("<"), inner, F.lit(">"))
+        return F.concat(F.lit('"'), inner, F.lit('"'))
+    if kind == "concat":
+        parts = []
+        for a in node[1]:
+            if a[0] == "str":
+                parts.append(F.lit(a[1]))
+            else:
+                parts.append(_string_operand(a, columns))
+        return F.concat(F.lit('"'), *parts, F.lit('"'))
+    raise SparqlSyntaxError(f"{node!r} is not a BIND value expression")
+
+
 def _operand_mode(node) -> str:
     modes = {"num": "num", "str": "value", "term": "term", "var": "var", "acc": "acc"}
     if node[0] not in modes:
@@ -700,51 +1151,136 @@ def _compile_cmp(op: str, lhs, rhs, columns: set[str]) -> Column:
     }[op]
 
 
-def _compile_group(quads: DataFrame, g: Group) -> DataFrame:
+def _compile_group(
+    quads: DataFrame, g: Group, dataset: list[str] | None = None
+) -> DataFrame:
+    return _compile_group_nn(quads, g, dataset or [])[0]
+
+
+def _compile_group_nn(
+    quads: DataFrame, g: Group, dataset: list[str]
+) -> tuple[DataFrame, set[str]]:
+    """Compile a group graph pattern; returns (solutions, maybe-unbound
+    variable names). The maybe-unbound set drives the join strategy:
+    variables introduced under OPTIONAL / missing from a UNION branch /
+    produced by BIND can be null, and joins over them must use SPARQL's
+    unbound-compatibility rule instead of a plain equi join."""
     df: DataFrame | None = None
+    nullable: set[str] = set()
     for pat in _order_patterns(g.patterns):
-        scan = _scan(quads, pat)
-        df = scan if df is None else _join_shared(df, scan)
+        scan = _scan(quads, pat, dataset)
+        df = scan if df is None else _join_shared(df, scan, lnull=nullable)
+    for pp in g.paths:
+        compiled = _compile_path_pattern(quads, pp, dataset)
+        df = compiled if df is None else _join_shared(df, compiled, lnull=nullable)
     for branches in g.unions:
-        compiled = [_compile_group(quads, b) for b in branches]
-        u = compiled[0]
-        for b in compiled[1:]:
-            u = u.unionByName(b, allowMissingColumns=True)
-        df = u if df is None else _join_shared(df, u)
+        compiled_b = [_compile_group_nn(quads, b, dataset) for b in branches]
+        all_vars: set[str] = set()
+        for bdf, _ in compiled_b:
+            all_vars |= {c for c in bdf.columns if c != "__exists__"}
+        u: DataFrame | None = None
+        for bdf, bnull in compiled_b:
+            missing = all_vars - set(bdf.columns)
+            nullable |= bnull | missing
+            u = bdf if u is None else u.unionByName(bdf, allowMissingColumns=True)
+        df = u if df is None else _join_shared(df, u, lnull=nullable, rnull=nullable)
     if df is None:
         raise SparqlSyntaxError("empty group graph pattern")
     for opt in g.optionals:
-        df = _join_shared(df, _compile_group(quads, opt), how="left")
+        odf, onull = _compile_group_nn(quads, opt, dataset)
+        right_vars = {c for c in odf.columns if c != "__exists__"}
+        new_vars = right_vars - set(df.columns)
+        df = _join_shared(df, odf, how="left", lnull=nullable, rnull=onull)
+        nullable |= onull | new_vars
+    for var, expr in g.binds:
+        if var in df.columns:
+            raise SparqlSyntaxError(f"BIND reassigns already-bound ?{var}")
+        df = df.withColumn(var, _bind_value(expr, set(df.columns)))
+        nullable.add(var)
     for expr in g.filters:
         df = df.where(_compile_expr(expr, set(df.columns)))
+    for minus in g.minuses:
+        mdf, _ = _compile_group_nn(quads, minus, dataset)
+        shared = [
+            c for c in df.columns if c in set(mdf.columns) and c != "__exists__"
+        ]
+        if shared:
+            # SPARQL §8.3: remove solutions with a compatible solution in
+            # the MINUS side that shares ≥1 domain variable; disjoint
+            # domains remove nothing
+            df = df.join(mdf.select(*shared).distinct(), on=shared, how="left_anti")
     if "__exists__" in df.columns and len(df.columns) > 1:
         df = df.drop("__exists__")
-    return df
+    return df, nullable
+
+
+def _order_cols(df: DataFrame, order: list[tuple[str, bool]]) -> list[Column]:
+    """Value-aware ORDER BY keys: string term columns sort numerically
+    first (literal value ``try_cast`` to double; non-numeric terms group
+    together on the null key) with the full encoded term as a
+    deterministic tiebreaker; numeric columns (aggregate results) sort
+    directly."""
+    dtypes = dict(df.dtypes)
+    cols: list[Column] = []
+    for v, asc in order:
+        if v not in dtypes:
+            raise SparqlSyntaxError(f"ORDER BY of unbound ?{v}")
+        if dtypes[v] == "string":
+            num = term_value_col(F.col(v)).try_cast("double")
+            cols.append(num.asc_nulls_first() if asc else num.desc_nulls_last())
+        cols.append(F.col(v).asc() if asc else F.col(v).desc())
+    return cols
+
+
+def _agg_column(
+    df: DataFrame, func: str, cvar: str | None, distinct: bool, alias: str
+) -> Column:
+    """One aggregate projection. COUNT works over any terms; SUM/AVG/
+    MIN/MAX are numeric — the operand is the literal's value cast to
+    decimal(38,6), which makes the partial aggregation exact and
+    order-independent across partitions (no float-summation drift); the
+    result is emitted as a double. Non-numeric bindings cast to null and
+    are skipped."""
+    if func == "COUNT":
+        if cvar is None:
+            agg = (
+                F.count_distinct(*[F.col(c) for c in df.columns])
+                if distinct
+                else F.count(F.lit(1))
+            )
+        else:
+            if cvar not in df.columns:
+                raise SparqlSyntaxError(f"COUNT of unbound ?{cvar}")
+            agg = F.count_distinct(cvar) if distinct else F.count(cvar)
+        return agg.alias(alias)
+    if cvar not in df.columns:
+        raise SparqlSyntaxError(f"{func} of unbound ?{cvar}")
+    val = term_value_col(F.col(cvar)).try_cast("decimal(38,6)")
+    if func == "SUM":
+        agg = F.sum_distinct(val) if distinct else F.sum(val)
+        return agg.cast("double").alias(alias)
+    if func == "AVG":
+        if distinct:
+            agg = F.sum_distinct(val).cast("double") / F.count_distinct(val)
+        else:
+            agg = F.sum(val).cast("double") / F.count(val)
+        return agg.alias(alias)
+    if func == "MIN":
+        return F.min(val).cast("double").alias(alias)
+    return F.max(val).cast("double").alias(alias)  # MAX
 
 
 def sparql_select(quads: DataFrame, query: str) -> DataFrame:
     """Answer a SPARQL SELECT (subset above) over a quad DataFrame.
-    Returns one string column per projected variable; OPTIONAL-unbound
-    slots are null. All matching/joining/filtering is DataFrame algebra —
-    nothing runs on the driver."""
+    Returns one string column per projected variable (numeric columns
+    for aggregates); OPTIONAL-unbound and never-bound slots are null.
+    All matching/joining/filtering is DataFrame algebra — nothing runs
+    on the driver."""
     q = _Parser(query).parse_query()
     if q.kind != "select":
         raise SparqlSyntaxError("use sparql_ask for ASK queries")
-    df = _compile_group(quads, q.group)
-    if q.counts:
-        aggs = []
-        for as_var, cvar, cdistinct in q.counts:
-            if cvar is None:
-                agg = (
-                    F.count_distinct(*[F.col(c) for c in df.columns])
-                    if cdistinct
-                    else F.count(F.lit(1))
-                )
-            else:
-                if cvar not in df.columns:
-                    raise SparqlSyntaxError(f"COUNT of unbound ?{cvar}")
-                agg = F.count_distinct(cvar) if cdistinct else F.count(cvar)
-            aggs.append(agg.alias(as_var))
+    df = _compile_group(quads, q.group, q.dataset)
+    if q.aggs:
         if q.group_by:
             missing = [v for v in q.group_by if v not in df.columns]
             if missing:
@@ -754,29 +1290,39 @@ def sparql_select(quads: DataFrame, query: str) -> DataFrame:
                 raise SparqlSyntaxError(
                     f"projected vars {stray} must appear in GROUP BY"
                 )
+            aggs = [
+                _agg_column(df, func, cvar, cdist, alias)
+                for alias, func, cvar, cdist in q.aggs
+            ]
             df = df.groupBy(*q.group_by).agg(*aggs)
         else:
             if q.projection:
                 raise SparqlSyntaxError(
-                    f"plain ?vars {q.projection} next to COUNT need GROUP BY"
+                    f"plain ?vars {q.projection} next to aggregates need GROUP BY"
                 )
+            aggs = [
+                _agg_column(df, func, cvar, cdist, alias)
+                for alias, func, cvar, cdist in q.aggs
+            ]
             df = df.agg(*aggs)
         df = df.select(*q.proj_order)
     elif q.group_by:
         raise SparqlSyntaxError("GROUP BY needs an aggregate projection")
     elif q.projection is not None:
-        missing = [v for v in q.projection if v not in df.columns]
-        if missing:
-            raise SparqlSyntaxError(f"projection of unbound vars {missing}")
-        df = df.select(*q.projection)
+        # a projected variable the pattern never binds is unbound in every
+        # solution (SPARQL), i.e. a null column — the reference's
+        # constant-slot SELECT ?s ?p ?o strings rely on this
+        cols = [
+            F.col(v) if v in df.columns else F.lit(None).cast("string").alias(v)
+            for v in q.projection
+        ]
+        df = df.select(*cols)
     elif "__exists__" in df.columns:
         df = df.select(F.col("__exists__").cast("string").alias("__exists__"))
     if q.distinct:
         df = df.distinct()
     if q.order:
-        df = df.orderBy(
-            *[F.col(v).asc() if asc else F.col(v).desc() for v, asc in q.order]
-        )
+        df = df.orderBy(*_order_cols(df, q.order))
     if q.offset is not None:
         df = df.offset(q.offset)
     if q.limit is not None:
@@ -786,19 +1332,18 @@ def sparql_select(quads: DataFrame, query: str) -> DataFrame:
 
 def sparql_construct(quads: DataFrame, query: str) -> DataFrame:
     """Answer a SPARQL CONSTRUCT (the reference's Turtle-export query
-    form, blazegraph_store.go:327-393): solve the WHERE group, then
-    instantiate each template pattern once per solution — a
-    select-per-template + union, solutions with an unbound template
-    variable dropped (SPARQL 1.1 §16.2), distinct because the result is
-    a graph (set semantics). Returns ``(subj, pred, obj)`` rows."""
+    form, blazegraph_store.go:327-393, including its ``FROM <g>``
+    dataset clause): solve the WHERE group, then instantiate each
+    template pattern once per solution — a select-per-template + union,
+    solutions with an unbound template variable dropped (SPARQL 1.1
+    §16.2), distinct because the result is a graph (set semantics).
+    Returns ``(subj, pred, obj)`` rows."""
     q = _Parser(query).parse_query()
     if q.kind != "construct":
         raise SparqlSyntaxError("use sparql_select/sparql_ask for this query")
-    df = _compile_group(quads, q.group)
+    df = _compile_group(quads, q.group, q.dataset)
     if q.order:
-        df = df.orderBy(
-            *[F.col(v).asc() if asc else F.col(v).desc() for v, asc in q.order]
-        )
+        df = df.orderBy(*_order_cols(df, q.order))
     if q.offset is not None:
         df = df.offset(q.offset)
     if q.limit is not None:
@@ -839,4 +1384,4 @@ def sparql_ask(quads: DataFrame, query: str) -> bool:
     q = _Parser(query).parse_query()
     if q.kind != "ask":
         raise SparqlSyntaxError("use sparql_select for SELECT queries")
-    return len(_compile_group(quads, q.group).limit(1).take(1)) > 0
+    return len(_compile_group(quads, q.group, q.dataset).limit(1).take(1)) > 0

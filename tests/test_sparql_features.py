@@ -1,0 +1,426 @@
+"""Round-3 SPARQL engine features.
+
+* Reference parity, byte-for-byte: the four query forms the reference
+  actually emits (blazegraph_store.go:53 SELECT with constant-filled
+  slots, :294/:419 ``ASK WHERE``, :329 CONSTRUCT with ``FROM``, :398
+  ``SELECT (COUNT(*) as ?n) FROM``) are transcribed verbatim and must
+  answer correctly — not just the repo's own builder strings.
+* Property paths (``+ * ? ^ / |``) compiled to iterative closure.
+* General aggregates (SUM/AVG/MIN/MAX) with exact decimal partials.
+* BIND / MINUS.
+* Nested-OPTIONAL unbound-compatibility (SPARQL §leftjoin).
+* Value-aware ORDER BY (numeric literals order numerically).
+* PN_LOCAL trailing-dot tokenization ("?s a t:Klass." terminates).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ontograph_spark.query import (
+    SparqlSyntaxError,
+    sparql_ask,
+    sparql_construct,
+    sparql_select,
+)
+from ontograph_spark.store import MemoryQuadStore
+from ontograph_spark.terms import mk_literal, mk_resource
+
+from test_store import GRAPH_URI, fixture_triples
+
+U = GRAPH_URI
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    s = MemoryQuadStore(spark, U)
+    s.add_triples(fixture_triples(U))
+    return s
+
+
+@pytest.fixture(scope="module")
+def chain(spark):
+    """A 4-level subClassOf-style chain plus a side branch:
+    a -> b -> c -> d, x -> c; one disconnected node via a label."""
+    from ontograph_spark.ontology.resources import new_triple
+
+    s = MemoryQuadStore(spark, "urn:chain")
+    P = "urn:chain#sub"
+    L = "urn:chain#label"
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "c")]
+    triples = [
+        new_triple(
+            mk_resource(f"urn:chain#{s_}"),
+            mk_resource(P),
+            mk_resource(f"urn:chain#{o_}"),
+        )
+        for s_, o_ in edges
+    ]
+    triples.append(
+        new_triple(
+            mk_resource("urn:chain#lone"),
+            mk_resource(L),
+            mk_literal("lone", "", ""),
+        )
+    )
+    s.add_triples(triples)
+    return s
+
+
+def _n(name: str) -> str:
+    return f"<urn:chain#{name}>"
+
+
+# ---------------------------------------------------------------------------
+# reference-exact query strings
+# ---------------------------------------------------------------------------
+
+
+def test_reference_select_with_constant_slots(store):
+    """blazegraph_store.go:53 — SELECT ?s ?p ?o with constants in the
+    pattern slots; the fixed slots project as unbound (null) columns."""
+    q = (
+        f"SELECT ?s ?p ?o WHERE {{ GRAPH <{U}> "
+        f"{{ <{U}#a> <{U}#rel-2> ?o. }} }}"
+    )
+    df = sparql_select(store.df(), q)
+    assert df.columns == ["s", "p", "o"]
+    assert [tuple(r) for r in df.collect()] == [(None, None, f"<{U}#b>")]
+
+
+def test_reference_ask_where(store):
+    """blazegraph_store.go:294,419 — ASK WHERE { GRAPH <g> { … } }."""
+    q = f"ASK WHERE {{ GRAPH <{U}> {{ ?s ?p ?o }} }}"
+    assert sparql_ask(store.df(), q) is True
+    q2 = f"ASK WHERE {{ GRAPH <urn:absent> {{ ?s ?p ?o }} }}"
+    assert sparql_ask(store.df(), q2) is False
+
+
+def test_reference_construct_from(store):
+    """blazegraph_store.go:329 — CONSTRUCT { ?s ?p ?o } FROM <g>."""
+    q = f"CONSTRUCT {{ ?s ?p ?o }} FROM <{U}> WHERE {{  ?s ?p ?o . }}"
+    out = sparql_construct(store.df(), q)
+    assert out.columns == ["subj", "pred", "obj"]
+    assert out.count() == 7
+
+
+def test_reference_count_from_lowercase_as(store):
+    """blazegraph_store.go:398 — SELECT (COUNT(*) as ?n) FROM <g>."""
+    q = f"SELECT (COUNT(*) as ?n) FROM <{U}> WHERE {{ ?s ?p ?o }} "
+    df = sparql_select(store.df(), q)
+    assert df.columns == ["n"]
+    assert df.collect()[0][0] == 7
+
+
+def test_from_scopes_unscoped_patterns(spark, store):
+    from ontograph_spark.ontology.resources import new_triple
+
+    other = MemoryQuadStore(spark, "urn:other")
+    other.add_triple(
+        new_triple(
+            mk_resource("urn:other#x"),
+            mk_resource("urn:other#p"),
+            mk_resource("urn:other#y"),
+        )
+    )
+    both = store.df().unionByName(other.df())
+    one = sparql_select(both, "SELECT ?s FROM <urn:other> WHERE { ?s ?p ?o }")
+    assert [r[0] for r in one.collect()] == ["<urn:other#x>"]
+    two = sparql_select(
+        both,
+        f"SELECT ?s FROM <urn:other> FROM <{U}> WHERE {{ ?s ?p ?o }}",
+    )
+    assert two.count() == 8
+
+
+def test_pname_trailing_dot_terminates_triple(spark):
+    """SPARQL PN_LOCAL forbids a final dot: '?s a t:Klass.' must parse
+    the '.' as the triple terminator, not as part of the IRI."""
+    from ontograph_spark import vocab
+    from ontograph_spark.ontology.resources import new_triple
+
+    s = MemoryQuadStore(spark, "urn:t")
+    s.add_triple(
+        new_triple(
+            mk_resource("urn:t#i"),
+            mk_resource(vocab.RDF_TYPE),
+            mk_resource("urn:t#Klass"),
+        )
+    )
+    q = "PREFIX t: <urn:t#> SELECT ?s WHERE { ?s a t:Klass. }"
+    assert [r[0] for r in sparql_select(s.df(), q).collect()] == ["<urn:t#i>"]
+
+
+# ---------------------------------------------------------------------------
+# property paths
+# ---------------------------------------------------------------------------
+
+
+def test_path_plus_transitive(chain):
+    q = "SELECT ?x ?y WHERE { ?x <urn:chain#sub>+ ?y }"
+    rows = {tuple(r) for r in sparql_select(chain.df(), q).collect()}
+    assert rows == {
+        (_n("a"), _n("b")), (_n("a"), _n("c")), (_n("a"), _n("d")),
+        (_n("b"), _n("c")), (_n("b"), _n("d")),
+        (_n("c"), _n("d")),
+        (_n("x"), _n("c")), (_n("x"), _n("d")),
+    }
+
+
+def test_path_plus_seeded_constant_subject(chain):
+    q = f"SELECT ?y WHERE {{ {_n('a')} <urn:chain#sub>+ ?y }}"
+    rows = {r[0] for r in sparql_select(chain.df(), q).collect()}
+    assert rows == {_n("b"), _n("c"), _n("d")}
+
+
+def test_path_star_includes_zero_length(chain):
+    q = f"SELECT ?y WHERE {{ {_n('b')} <urn:chain#sub>* ?y }}"
+    rows = {r[0] for r in sparql_select(chain.df(), q).collect()}
+    assert rows == {_n("b"), _n("c"), _n("d")}
+
+
+def test_path_plus_seeded_constant_object(chain):
+    q = f"SELECT ?x WHERE {{ ?x <urn:chain#sub>+ {_n('c')} }}"
+    rows = {r[0] for r in sparql_select(chain.df(), q).collect()}
+    assert rows == {_n("a"), _n("b"), _n("x")}
+
+
+def test_path_inverse(chain):
+    q = f"SELECT ?x WHERE {{ {_n('c')} ^<urn:chain#sub> ?x }}"
+    rows = {r[0] for r in sparql_select(chain.df(), q).collect()}
+    assert rows == {_n("b"), _n("x")}
+
+
+def test_path_sequence(chain):
+    q = "SELECT ?x ?y WHERE { ?x <urn:chain#sub>/<urn:chain#sub> ?y }"
+    rows = {tuple(r) for r in sparql_select(chain.df(), q).collect()}
+    assert rows == {(_n("a"), _n("c")), (_n("b"), _n("d")), (_n("x"), _n("d"))}
+
+
+def test_path_alternative(chain):
+    q = "SELECT ?x WHERE { ?x <urn:chain#sub>|<urn:chain#label> ?o }"
+    rows = {r[0] for r in sparql_select(chain.df(), q).collect()}
+    assert rows == {_n("a"), _n("b"), _n("c"), _n("x"), _n("lone")}
+
+
+def test_path_zeroone(chain):
+    q = f"SELECT ?y WHERE {{ {_n('a')} <urn:chain#sub>? ?y }}"
+    rows = {r[0] for r in sparql_select(chain.df(), q).collect()}
+    assert rows == {_n("a"), _n("b")}
+
+
+def test_path_grouped_sequence_closure(chain):
+    """(p/p)+ from a: hops of exactly 2,4,… — a→c only (a→d is 3)."""
+    q = (
+        f"SELECT ?y WHERE {{ {_n('a')} "
+        "(<urn:chain#sub>/<urn:chain#sub>)+ ?y }"
+    )
+    rows = {r[0] for r in sparql_select(chain.df(), q).collect()}
+    assert rows == {_n("c")}
+
+
+def test_path_joins_with_bgp(chain):
+    """A path pattern participates in the BGP join like any scan."""
+    q = (
+        "SELECT ?x WHERE { ?x <urn:chain#sub>+ ?top . "
+        f"?top <urn:chain#sub> {_n('d')} }}"
+    )
+    rows = {r[0] for r in sparql_select(chain.df(), q).collect()}
+    # nodes that transitively reach c (which then steps to d)
+    assert rows == {_n("a"), _n("b"), _n("x")}
+
+
+def test_path_under_graph_var_raises(chain):
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(
+            chain.df(),
+            "SELECT ?x WHERE { GRAPH ?g { ?x <urn:chain#sub>+ ?y } }",
+        )
+
+
+# ---------------------------------------------------------------------------
+# aggregates
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def nums(spark):
+    from ontograph_spark.ontology.resources import new_triple
+
+    xsd_dec = "http://www.w3.org/2001/XMLSchema#decimal"
+    s = MemoryQuadStore(spark, "urn:nums")
+    triples = []
+    vals = {"a": [1.5, 2.5], "b": [10.0, 9.0, 1.0]}
+    for grp, vs in vals.items():
+        for i, v in enumerate(vs):
+            triples.append(
+                new_triple(
+                    mk_resource(f"urn:nums#{grp}{i}"),
+                    mk_resource("urn:nums#val"),
+                    mk_literal(f"{v:f}", "", xsd_dec),
+                )
+            )
+            triples.append(
+                new_triple(
+                    mk_resource(f"urn:nums#{grp}{i}"),
+                    mk_resource("urn:nums#grp"),
+                    mk_literal(grp, "", ""),
+                )
+            )
+    s.add_triples(triples)
+    return s
+
+
+def test_sum_avg_min_max_grouped(nums):
+    q = """
+    SELECT ?g (SUM(?v) AS ?total) (AVG(?v) AS ?mean)
+           (MIN(?v) AS ?lo) (MAX(?v) AS ?hi) (COUNT(?v) AS ?n)
+    WHERE { ?s <urn:nums#val> ?v ; <urn:nums#grp> ?g } GROUP BY ?g"""
+    rows = {r["g"]: r for r in sparql_select(nums.df(), q).collect()}
+    a, b = rows['"a"'], rows['"b"']
+    assert (a["total"], a["mean"], a["lo"], a["hi"], a["n"]) == (4.0, 2.0, 1.5, 2.5, 2)
+    assert (b["total"], b["mean"], b["lo"], b["hi"], b["n"]) == (20.0, 20.0 / 3, 1.0, 10.0, 3)
+
+
+def test_sum_ungrouped_and_distinct(nums):
+    q = "SELECT (SUM(?v) AS ?t) WHERE { ?s <urn:nums#val> ?v }"
+    assert sparql_select(nums.df(), q).collect()[0][0] == 24.0
+    q2 = "SELECT (COUNT(DISTINCT ?s) AS ?n) WHERE { ?s ?p ?o }"
+    assert sparql_select(nums.df(), q2).collect()[0][0] == 5
+
+
+def test_sum_skips_non_numeric(nums):
+    """grp literals are non-numeric: SUM over them is null (skipped)."""
+    q = "SELECT (SUM(?g) AS ?t) (COUNT(?g) AS ?n) WHERE { ?s <urn:nums#grp> ?g }"
+    row = sparql_select(nums.df(), q).collect()[0]
+    assert row["t"] is None and row["n"] == 5
+
+
+def test_order_by_numeric_value(nums):
+    q = """
+    SELECT ?s ?v WHERE { ?s <urn:nums#val> ?v } ORDER BY ASC(?v) LIMIT 2"""
+    rows = [r["s"] for r in sparql_select(nums.df(), q).collect()]
+    # 1.0 (b2) then 1.5 (a0) — numeric, not lexicographic ("1.0" < "10")
+    assert rows == ["<urn:nums#b2>", "<urn:nums#a0>"]
+    q2 = "SELECT ?s ?v WHERE { ?s <urn:nums#val> ?v } ORDER BY DESC(?v) LIMIT 1"
+    assert sparql_select(nums.df(), q2).collect()[0]["s"] == "<urn:nums#b0>"
+
+
+def test_agg_errors(nums):
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(nums.df(), "SELECT (SUM(*) AS ?t) WHERE { ?s ?p ?o }")
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(nums.df(), "SELECT (SUM(?zz) AS ?t) WHERE { ?s ?p ?o }")
+
+
+# ---------------------------------------------------------------------------
+# BIND / MINUS
+# ---------------------------------------------------------------------------
+
+
+def test_bind_var_and_accessor(store):
+    q = f"""
+    SELECT ?s ?val WHERE {{
+        ?s <{U}#rel-3> ?o
+        BIND(STR(?o) AS ?val)
+    }}"""
+    rows = [tuple(r) for r in sparql_select(store.df(), q).collect()]
+    assert rows == [(f"<{U}#c>", '"lit1"')]
+
+
+def test_bind_concat_and_join(store):
+    q = f"""
+    SELECT ?tag WHERE {{
+        ?s <{U}#rel-4> ?o
+        BIND(CONCAT(STR(?o), "-", LANG(?o)) AS ?tag)
+    }}"""
+    assert [r[0] for r in sparql_select(store.df(), q).collect()] == ['"lit2-de"']
+
+
+def test_bind_datatype_is_iri(store):
+    q = f"""
+    SELECT ?dt WHERE {{
+        ?s <{U}#rel-5> ?o
+        BIND(DATATYPE(?o) AS ?dt)
+    }}"""
+    assert [r[0] for r in sparql_select(store.df(), q).collect()] == [
+        f"<{U}#datatype>"
+    ]
+
+
+def test_bind_reassign_raises(store):
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(
+            store.df(), "SELECT ?o WHERE { ?s ?p ?o BIND(?s AS ?o) }"
+        )
+
+
+def test_minus_removes_shared_solutions(store):
+    """Subjects with any triple, minus those with a rel-2 edge."""
+    q = f"""
+    SELECT DISTINCT ?s WHERE {{
+        ?s ?p ?o
+        MINUS {{ ?s <{U}#rel-2> ?z }}
+    }}"""
+    rows = {r[0] for r in sparql_select(store.df(), q).collect()}
+    assert rows == {f"<{U}>", f"<{U}#c>"}
+
+
+def test_minus_disjoint_removes_nothing(store):
+    """SPARQL §8.3: a MINUS group sharing no variable removes nothing."""
+    q = f"""
+    SELECT DISTINCT ?s WHERE {{
+        ?s <{U}#rel-1> ?o
+        MINUS {{ ?a <{U}#rel-2> ?b }}
+    }}"""
+    assert sparql_select(store.df(), q).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# nested-OPTIONAL unbound compatibility
+# ---------------------------------------------------------------------------
+
+
+def test_nested_optional_unbound_is_compatible(spark):
+    """SPARQL §leftjoin: a solution with ?z unbound is compatible with
+    every ?z binding of the next OPTIONAL — the merge takes the bound
+    value (previously these solutions silently dropped)."""
+    from ontograph_spark.ontology.resources import new_triple
+
+    s = MemoryQuadStore(spark, "urn:no")
+    t = lambda a, p, b: new_triple(  # noqa: E731
+        mk_resource(f"urn:no#{a}"), mk_resource(f"urn:no#{p}"), mk_resource(f"urn:no#{b}")
+    )
+    s.add_triples(
+        [
+            t("a1", "p", "b1"),
+            t("b1", "q", "c1"),
+            t("a2", "p", "b2"),  # no q edge: ?z unbound for a2
+            t("c1", "r", "d1"),
+            t("cX", "r", "d2"),
+        ]
+    )
+    q = """
+    SELECT ?x ?z ?w WHERE {
+        ?x <urn:no#p> ?y
+        OPTIONAL { ?y <urn:no#q> ?z }
+        OPTIONAL { ?z <urn:no#r> ?w }
+    }"""
+    rows = {tuple(r) for r in sparql_select(s.df(), q).collect()}
+    assert rows == {
+        ("<urn:no#a1>", "<urn:no#c1>", "<urn:no#d1>"),
+        ("<urn:no#a2>", "<urn:no#c1>", "<urn:no#d1>"),
+        ("<urn:no#a2>", "<urn:no#cX>", "<urn:no#d2>"),
+    }
+
+
+def test_two_exists_probes_keep_marker(store):
+    """Two all-constant patterns must not drop both marker columns."""
+    q = f"""
+    SELECT * WHERE {{
+        <{U}> <{U}#rel-1> <{U}#a> .
+        <{U}#a> <{U}#rel-2> <{U}#b> .
+    }}"""
+    df = sparql_select(store.df(), q)
+    assert df.columns == ["__exists__"]
+    assert df.count() == 1

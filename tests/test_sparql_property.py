@@ -164,6 +164,114 @@ def test_optional_matches_naive_leftjoin(spark, triples, left, opt):
     assert got == want
 
 
+def naive_leftjoin(lsol, rsol):
+    """SPARQL §leftjoin over *partial* solutions: μ1 and μ2 are
+    compatible iff they agree on the variables bound in BOTH (an unbound
+    variable is compatible with anything); the merge takes the union of
+    bindings. This is the full rule — not the all-vars-bound restriction
+    the single-level test above relies on."""
+    out = []
+    for b in lsol:
+        matches = [
+            {**b, **r}
+            for r in rsol
+            if all(b[k] == r[k] for k in b.keys() & r.keys())
+        ]
+        out.extend(matches if matches else [b])
+    return out
+
+
+def _run_group(spark, triples, query):
+    rows = [(s, p, o, "u:g") for s, p, o in triples]
+    quads = spark.createDataFrame(
+        rows or [("<u:none>", "<u:none>", "<u:none>", "u:none")],
+        "subj string, pred string, obj string, graph string",
+    )
+    if not rows:
+        quads = quads.where("graph = 'u:g'")
+    q = _Parser(query).parse_query()
+    df = _compile_group(quads, q.group)
+    return Counter(
+        tuple(sorted((k, v) for k, v in r.asDict().items() if v is not None))
+        for r in df.collect()
+    )
+
+
+def _bag(sols):
+    return Counter(tuple(sorted(b.items())) for b in sols)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(triples=triples_st, left=st.lists(pattern_st, min_size=1, max_size=2),
+       opt1=st.lists(pattern_st, min_size=1, max_size=1),
+       opt2=st.lists(pattern_st, min_size=1, max_size=1))
+def test_sequential_optionals_match_naive_leftjoin(
+    spark, triples, left, opt1, opt2
+):
+    """{ L OPTIONAL { O1 } OPTIONAL { O2 } }: the second OPTIONAL joins
+    against solutions whose O1-vars may be UNBOUND — the regime the
+    round-2 compiler dropped and the compat join now handles exactly."""
+    def term(slot):
+        kind, val = slot
+        return f"?{val}" if kind == "var" else val
+
+    def body(pats):
+        return " . ".join(" ".join(term(s) for s in pat) for pat in pats)
+
+    query = (
+        f"SELECT * WHERE {{ {body(left)} "
+        f"OPTIONAL {{ {body(opt1)} }} OPTIONAL {{ {body(opt2)} }} }}"
+    )
+    got = _run_group(spark, triples, query)
+    want = _bag(
+        naive_leftjoin(
+            naive_leftjoin(naive_bgp(triples, left), naive_bgp(triples, opt1)),
+            naive_bgp(triples, opt2),
+        )
+    )
+    assert got == want
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(triples=triples_st, left=st.lists(pattern_st, min_size=1, max_size=2),
+       inner=st.lists(pattern_st, min_size=1, max_size=1),
+       innermost=st.lists(pattern_st, min_size=1, max_size=1))
+def test_nested_optional_matches_naive_leftjoin(
+    spark, triples, left, inner, innermost
+):
+    """{ L OPTIONAL { I OPTIONAL { J } } }: the outer left join's right
+    side itself contains maybe-unbound vars (from J)."""
+    def term(slot):
+        kind, val = slot
+        return f"?{val}" if kind == "var" else val
+
+    def body(pats):
+        return " . ".join(" ".join(term(s) for s in pat) for pat in pats)
+
+    query = (
+        f"SELECT * WHERE {{ {body(left)} OPTIONAL {{ {body(inner)} "
+        f"OPTIONAL {{ {body(innermost)} }} }} }}"
+    )
+    got = _run_group(spark, triples, query)
+    want = _bag(
+        naive_leftjoin(
+            naive_bgp(triples, left),
+            naive_leftjoin(
+                naive_bgp(triples, inner), naive_bgp(triples, innermost)
+            ),
+        )
+    )
+    assert got == want
+
+
 @settings(
     max_examples=30,
     deadline=None,
