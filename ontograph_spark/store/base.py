@@ -81,13 +81,25 @@ class QuadStoreBase:
         """The full quad table (may contain several graphs)."""
         raise NotImplementedError
 
-    def _commit(self, df: DataFrame) -> None:
-        """Replace the quad table contents with ``df`` (one atomic commit)."""
+    def _commit(
+        self, df: DataFrame, op: str = "mutate", touched: DataFrame | None = None
+    ) -> None:
+        """Replace the quad table contents with ``df`` (one atomic commit).
+
+        ``touched`` is an optional hint: a DataFrame of quad rows whose
+        (graph, subject) keys cover every row the mutation added or
+        removed. Backends with partitioned storage (ParquetQuadStore)
+        use it to commit only the affected partitions — the Iceberg
+        MERGE-granularity behavior; backends without it ignore it."""
         raise NotImplementedError
 
     def _drop_backend(self) -> None:
         """Backend hook for Drop(); default removes this graph's rows."""
-        self._commit(self._df().where(F.col("graph") != self._uri))
+        self._commit(
+            self._df().where(F.col("graph") != self._uri),
+            op="drop",
+            touched=self.df(),
+        )
 
     # -- helpers ----------------------------------------------------------
 
@@ -134,7 +146,11 @@ class QuadStoreBase:
     def delete_all_matches(self, subj: str = "", pred: str = "", obj: str = "") -> None:
         """Anti-filter rewrite; no-op when nothing matches."""
         keep = ~((F.col("graph") == self._uri) & pattern_filter(subj, pred, obj))
-        self._commit(self._df().where(keep))
+        self._commit(
+            self._df().where(keep),
+            op="delete_matches",
+            touched=self.match_df(subj, pred, obj),
+        )
 
     def add_triple(self, triple: Triple) -> None:
         """Checked insert (memory_store.go:125-134)."""
@@ -158,7 +174,7 @@ class QuadStoreBase:
         clash = new_df.join(self.df(), on=QUAD_COLS, how="left_semi")
         if clash.limit(1).count() > 0:
             raise TripleAlreadyExistsError()
-        self._commit(self._df().unionByName(new_df))
+        self._commit(self._df().unionByName(new_df), op="add", touched=new_df)
 
     def add_triple_unchecked(self, triple: Triple) -> None:
         self.add_triples_unchecked([triple])
@@ -172,7 +188,7 @@ class QuadStoreBase:
             return
         new_df = self._triples_df(triples).dropDuplicates(QUAD_COLS)
         fresh = new_df.join(self.df(), on=QUAD_COLS, how="left_anti")
-        self._commit(self._df().unionByName(fresh))
+        self._commit(self._df().unionByName(fresh), op="add", touched=new_df)
 
     def merge_df(self, quads: DataFrame) -> None:
         """Distributed idempotent MERGE of a quad DataFrame (same columns).
@@ -180,7 +196,7 @@ class QuadStoreBase:
         batch; dedup + anti-join + single append = one commit."""
         new_df = quads.select(*QUAD_COLS).dropDuplicates(QUAD_COLS)
         fresh = new_df.join(self._df(), on=QUAD_COLS, how="left_anti")
-        self._commit(self._df().unionByName(fresh))
+        self._commit(self._df().unionByName(fresh), op="merge", touched=new_df)
 
     def delete_triple(self, triple: Triple) -> None:
         """Checked delete (memory_store.go:181-190)."""
@@ -214,7 +230,11 @@ class QuadStoreBase:
         self._delete_rows(self._triples_df(triples))
 
     def _delete_rows(self, req_df: DataFrame) -> None:
-        self._commit(self._df().join(req_df, on=QUAD_COLS, how="left_anti"))
+        self._commit(
+            self._df().join(req_df, on=QUAD_COLS, how="left_anti"),
+            op="delete",
+            touched=req_df,
+        )
 
     def upsert_subjects(
         self, subjects: DataFrame, quads: DataFrame, broadcast: bool = True
@@ -242,8 +262,16 @@ class QuadStoreBase:
             s.withColumnRenamed("subj", "obj"), on="obj", how="left_anti"
         )
         new = quads.select(*QUAD_COLS).dropDuplicates(QUAD_COLS)
+        # touched hint: rows removed (subject hit or referential obj
+        # cleanup — the latter live in the partition of THEIR subject)
+        # plus the inserted batch
+        removed = mine.join(s, on="subj", how="left_semi").unionByName(
+            mine.join(s.withColumnRenamed("subj", "obj"), on="obj", how="left_semi")
+        )
         self._commit(
-            others.unionByName(keep.select(*QUAD_COLS)).unionByName(new)
+            others.unionByName(keep.select(*QUAD_COLS)).unionByName(new),
+            op="upsert",
+            touched=removed.select(*QUAD_COLS).unionByName(new),
         )
 
     def graphs(self) -> list[str]:

@@ -51,7 +51,11 @@ class MemoryQuadStore(QuadStoreBase):
             raise RuntimeError("store has been dropped")
         return self._quads
 
-    def _commit(self, df: DataFrame) -> None:
+    def _commit(
+        self, df: DataFrame, op: str = "mutate", touched: DataFrame | None = None
+    ) -> None:
+        # in-memory state has no partition granularity — ``touched`` is
+        # the partitioned backends' hint and is ignored here
         self._quads = df.localCheckpoint(eager=True)
 
     def _drop_backend(self) -> None:

@@ -46,9 +46,13 @@ def test_pattern_match_pushes_filters_to_scan(pstore):
     plan = plan_of(pstore.match_df("", mk_resource(f"{G}#rel"), ""))
     assert "FileScan parquet" in plan
     assert "PushedFilters" in plan
-    # both the graph scope and the predicate filter reach the scan
+    # graph is a partition column since the scoped-commit layout: its
+    # filter prunes whole directories (PartitionFilters) — stronger than
+    # a row-group filter; the predicate filter reaches PushedFilters
+    parts = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "graph" in parts and "=" in parts
     pushed = plan.split("PushedFilters: [")[1].split("]")[0]
-    assert "EqualTo(graph," in pushed and "EqualTo(pred," in pushed
+    assert "EqualTo(pred," in pushed
 
 
 def test_column_pruning_reaches_scan(pstore):
@@ -343,7 +347,9 @@ def test_sparql_bgp_plan_pushes_constants_and_stays_hash_joined(pstore):
     }} }}"""
     plan = plan_of(sparql_select(pstore.df(), q))
     pushed = plan.split("PushedFilters: [")[1].split("]")[0]
-    assert "EqualTo(pred," in pushed and "EqualTo(graph," in pushed
+    assert "EqualTo(pred," in pushed
+    parts = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "graph" in parts and "=" in parts  # graph scope prunes partitions
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
