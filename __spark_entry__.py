@@ -2095,6 +2095,78 @@ WHERE ty.pred = '{RDF_TYPE}' AND ty.obj = '<{G}#Nation>'
 """
 
 
+_SPARQL_VALUES = f"""
+PREFIX t: <{G}#>
+SELECT ?n ?rlabel WHERE {{ GRAPH <{G}> {{
+    ?n t:locatedIn ?r .
+    ?r rdfs:label ?rlabel .
+    VALUES ?rlabel {{ "ASIA" "EUROPE" }}
+}} }}"""
+
+
+def q_sparql_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUES inline data: nations in the two named regions — the
+    literal rows become a broadcast-sized DataFrame equi-joined on the
+    shared variable (query/sparql.py Group.values compilation)."""
+    from ontograph_spark.query import sparql_select
+
+    return sparql_select(quads_df(spark, sf_dir), _SPARQL_VALUES)
+
+
+_SQL_SPARQL_VALUES = f"""{_W}
+SELECT loc.subj AS n, rl.obj AS rlabel
+FROM quads loc
+JOIN quads rl ON rl.subj = loc.obj AND rl.pred = '{LABEL}'
+WHERE loc.pred = '<{G}#locatedIn>'
+  AND rl.obj IN ('"ASIA"', '"EUROPE"')
+"""
+
+
+_SPARQL_NESTED_OPT = f"""
+PREFIX t: <{G}#>
+SELECT ?s ?x ?lbl WHERE {{ GRAPH <{G}> {{
+    ?s a t:Supplier
+    OPTIONAL {{ ?s t:locatedIn ?x }}
+    OPTIONAL {{ ?x a t:Region ;
+                   rdfs:label ?lbl }}
+}} }}"""
+
+
+def q_sparql_nested_opt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential OPTIONALs with an unbound shared variable (SPARQL
+    §leftjoin compatibility): suppliers have no locatedIn edge, so ?x is
+    unbound after the first OPTIONAL — unbound is compatible with EVERY
+    ?x binding of the second OPTIONAL, and each merge takes the bound
+    value. Result: every (supplier × region-label) pair. Compiles to the
+    null-tolerant compat join (query/sparql.py:_join_shared); the oracle
+    replays the same two leftjoins relationally with an OR-null join
+    condition + COALESCE."""
+    from ontograph_spark.query import sparql_select
+
+    return sparql_select(quads_df(spark, sf_dir), _SPARQL_NESTED_OPT)
+
+
+_SQL_SPARQL_NESTED_OPT = f"""{_W},
+sup AS (
+  SELECT subj AS s FROM quads
+  WHERE pred = '{RDF_TYPE}' AND obj = '<{G}#Supplier>'
+),
+opt1 AS (
+  SELECT sup.s, loc.obj AS x FROM sup
+  LEFT JOIN quads loc ON loc.subj = sup.s AND loc.pred = '<{G}#locatedIn>'
+),
+reg AS (
+  SELECT rl.subj AS x, rl.obj AS lbl
+  FROM quads ty
+  JOIN quads rl ON rl.subj = ty.subj AND rl.pred = '{LABEL}'
+  WHERE ty.pred = '{RDF_TYPE}' AND ty.obj = '<{G}#Region>'
+)
+SELECT o1.s AS s, COALESCE(o1.x, reg.x) AS x, reg.lbl AS lbl
+FROM opt1 o1
+LEFT JOIN reg ON (o1.x = reg.x OR o1.x IS NULL)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2169,6 +2241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_agg": q_sparql_agg,
         "sparql_bind": q_sparql_bind,
         "sparql_minus": q_sparql_minus,
+        "sparql_values": q_sparql_values,
+        "sparql_nested_opt": q_sparql_nested_opt,
     }
 
 
@@ -2234,6 +2308,8 @@ def oracle_sql() -> dict[str, str]:
         "sparql_agg": _SQL_SPARQL_AGG,
         "sparql_bind": _SQL_SPARQL_BIND,
         "sparql_minus": _SQL_SPARQL_MINUS,
+        "sparql_values": _SQL_SPARQL_VALUES,
+        "sparql_nested_opt": _SQL_SPARQL_NESTED_OPT,
         # multimodal: the Arrow mapInPandas stages aren't SQL-expressible,
         # but their input is a deterministic fixed-size synth table, so
         # the rollups are golden VALUES pins (derived in pure Python,

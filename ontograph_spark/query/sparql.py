@@ -43,6 +43,9 @@ tests/test_sparql_query.py alongside the repo's own
   unbound-is-compatible left join — see below), ``{ … } UNION { … }``,
   and ``MINUS { … }`` (an anti-join on shared variables; a MINUS group
   sharing no variable removes nothing, per SPARQL §8.3);
+* ``VALUES ?v { … }`` / ``VALUES (?a ?b) { (… …) … }`` inline data,
+  with ``UNDEF`` as an unbound cell — compiled to a (broadcastable)
+  literal DataFrame joined into the group;
 * ``ORDER BY [ASC|DESC](?v)``, ``LIMIT``, ``OFFSET``; ordering is
   value-aware: bindings that parse as numbers order numerically first,
   with the full encoded term as a deterministic tiebreaker, so
@@ -53,7 +56,7 @@ tests/test_sparql_query.py alongside the repo's own
   Turtle-export form) via :func:`sparql_construct`.
 
 Out of scope (documented, not silently wrong): subqueries, blank nodes
-(unsupported across the reference too — SURVEY.md §2.1), ``VALUES``,
+(unsupported across the reference too — SURVEY.md §2.1),
 ``FROM NAMED``, negated property paths (``!iri``), property paths under
 ``GRAPH ?var`` (closure per graph binding), and SPARQL's full
 operator-precedence value type system. Non-COUNT aggregates are numeric:
@@ -212,6 +215,10 @@ class Group:
     optionals: list["Group"] = field(default_factory=list)
     unions: list[list["Group"]] = field(default_factory=list)
     minuses: list["Group"] = field(default_factory=list)
+    #: VALUES blocks: (var names, rows of encoded terms / None for UNDEF)
+    values: list[tuple[list[str], list[list[str | None]]]] = field(
+        default_factory=list
+    )
 
     def is_plain_triples(self) -> bool:
         """True when the group is a bare triple block (CONSTRUCT
@@ -223,6 +230,7 @@ class Group:
             or self.optionals
             or self.unions
             or self.minuses
+            or self.values
         )
 
 
@@ -572,6 +580,9 @@ class _Parser:
                     raise SparqlSyntaxError("BIND needs (expr AS ?var)")
                 self.expect_op(")")
                 g.binds.append((text[1:], expr))
+            elif self.at_kw("VALUES"):
+                self.next()
+                g.values.append(self._parse_values())
             elif self.at_kw("OPTIONAL"):
                 self.next()
                 g.optionals.append(self.parse_group(graph=graph))
@@ -594,6 +605,53 @@ class _Parser:
         self.expect_op("}")
         return g
 
+    def _parse_values(self) -> tuple[list[str], list[list[str | None]]]:
+        """``VALUES ?v { t … }`` or ``VALUES (?a ?b) { (t t) … }``;
+        ``UNDEF`` cells are None (unbound)."""
+        names: list[str] = []
+        if self.at_op("("):
+            self.next()
+            while not self.at_op(")"):
+                kind, text = self.next()
+                if kind != "VAR":
+                    raise SparqlSyntaxError("VALUES needs ?vars")
+                names.append(text[1:])
+            self.next()
+        else:
+            kind, text = self.next()
+            if kind != "VAR":
+                raise SparqlSyntaxError("VALUES needs ?vars")
+            names.append(text[1:])
+        if not names:
+            raise SparqlSyntaxError("empty VALUES variable list")
+        rows: list[list[str | None]] = []
+        self.expect_op("{")
+        while not self.at_op("}"):
+            if len(names) == 1 and not self.at_op("("):
+                rows.append([self._parse_values_cell()])
+                continue
+            self.expect_op("(")
+            row: list[str | None] = []
+            while not self.at_op(")"):
+                row.append(self._parse_values_cell())
+            self.next()
+            if len(row) != len(names):
+                raise SparqlSyntaxError(
+                    f"VALUES row width {len(row)} != {len(names)} vars"
+                )
+            rows.append(row)
+        self.next()
+        return (names, rows)
+
+    def _parse_values_cell(self) -> str | None:
+        if self.at_kw("UNDEF"):
+            self.next()
+            return None
+        kind, val = self.parse_slot()
+        if kind != "term":
+            raise SparqlSyntaxError("VALUES cells must be terms or UNDEF")
+        return val
+
     @staticmethod
     def _merge(g: Group, inner: Group) -> None:
         g.patterns.extend(inner.patterns)
@@ -603,6 +661,7 @@ class _Parser:
         g.optionals.extend(inner.optionals)
         g.unions.extend(inner.unions)
         g.minuses.extend(inner.minuses)
+        g.values.extend(inner.values)
 
     def _parse_triples_block(self, g: Group, graph: Slot | None) -> None:
         subj = self.parse_slot()
@@ -1173,6 +1232,23 @@ def _compile_group_nn(
     for pp in g.paths:
         compiled = _compile_path_pattern(quads, pp, dataset)
         df = compiled if df is None else _join_shared(df, compiled, lnull=nullable)
+    for names, rows in g.values:
+        # inline data: a literal (broadcast-sized) DataFrame joined on its
+        # variable columns; UNDEF cells are null ⇒ the vars join with the
+        # unbound-compatibility rule like any maybe-null variable
+        spark = quads.sparkSession
+        vdf = spark.createDataFrame(
+            [tuple(r) for r in rows], ", ".join(f"{n} string" for n in names)
+        )
+        vnull = {
+            n for i, n in enumerate(names) if any(r[i] is None for r in rows)
+        }
+        nullable |= vnull
+        df = (
+            vdf
+            if df is None
+            else _join_shared(df, vdf, lnull=nullable, rnull=vnull)
+        )
     for branches in g.unions:
         compiled_b = [_compile_group_nn(quads, b, dataset) for b in branches]
         all_vars: set[str] = set()

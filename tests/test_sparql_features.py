@@ -414,6 +414,41 @@ def test_nested_optional_unbound_is_compatible(spark):
     }
 
 
+def test_values_single_var(store):
+    q = f"""
+    SELECT ?s ?o WHERE {{
+        ?s ?p ?o
+        VALUES ?o {{ "lit1" "lit2"@de }}
+    }}"""
+    rows = {tuple(r) for r in sparql_select(store.df(), q).collect()}
+    assert rows == {(f"<{U}#c>", '"lit1"'), (f"<{U}#c>", '"lit2"@de')}
+
+
+def test_values_multi_var_with_undef(store):
+    """An UNDEF cell is unbound: compatible with every binding of that
+    variable (the row constrains only its bound cells)."""
+    q = f"""
+    SELECT ?s ?o WHERE {{
+        ?s <{U}#rel-1> ?o
+        VALUES (?s ?o) {{ (<{U}> <{U}#a>) (UNDEF <{U}#b>) }}
+    }}"""
+    rows = {tuple(r) for r in sparql_select(store.df(), q).collect()}
+    assert rows == {(f"<{U}>", f"<{U}#a>"), (f"<{U}>", f"<{U}#b>")}
+
+
+def test_values_only_group(store):
+    q = 'SELECT ?x WHERE { VALUES ?x { "a" "b" } }'
+    assert {r[0] for r in sparql_select(store.df(), q).collect()} == {'"a"', '"b"'}
+
+
+def test_values_errors(store):
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(
+            store.df(),
+            "SELECT ?a WHERE { VALUES (?a ?b) { (<urn:x>) } }",  # row width
+        )
+
+
 def test_two_exists_probes_keep_marker(store):
     """Two all-constant patterns must not drop both marker columns."""
     q = f"""
