@@ -2167,6 +2167,178 @@ LEFT JOIN reg ON (o1.x = reg.x OR o1.x IS NULL)
 """
 
 
+_SPARQL_EXISTS = f"""
+PREFIX t: <{G}#>
+SELECT ?nat ?label WHERE {{ GRAPH <{G}> {{
+    ?nat a t:Nation ;
+         rdfs:label ?label .
+    FILTER NOT EXISTS {{ ?s t:inNation ?nat ; t:acctBal ?b ; a t:Supplier .
+                         FILTER(?b >= 3000) }}
+}} }}"""
+
+
+def q_sparql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER NOT EXISTS (SPARQL 1.1 §8.1) — nations with no
+    well-funded supplier. The EXISTS group compiles to its own BGP plan
+    and the top-level NOT EXISTS becomes a left_anti join on the shared
+    variable (query/sparql.py:_exists_join) — no correlated re-execution
+    per row, one distributed anti-join."""
+    from ontograph_spark.query import sparql_select
+
+    return sparql_select(quads_df(spark, sf_dir), _SPARQL_EXISTS)
+
+
+_SQL_SPARQL_EXISTS = f"""{_W}
+SELECT ty.subj AS nat, l.obj AS label
+FROM quads ty
+JOIN quads l ON l.subj = ty.subj AND l.pred = '{LABEL}'
+WHERE ty.pred = '{RDF_TYPE}' AND ty.obj = '<{G}#Nation>'
+  AND NOT EXISTS (
+    SELECT 1 FROM quads e
+    JOIN quads b ON b.subj = e.subj AND b.pred = '<{G}#acctBal>'
+    JOIN quads st ON st.subj = e.subj AND st.pred = '{RDF_TYPE}'
+                 AND st.obj = '<{G}#Supplier>'
+    WHERE e.pred = '<{G}#inNation>' AND e.obj = ty.subj
+      AND TRY_CAST(regexp_extract(b.obj, '"([^"]*)"', 1) AS DOUBLE) >= 3000
+  )
+"""
+
+
+_SPARQL_HAVING = f"""
+PREFIX t: <{G}#>
+SELECT ?nlabel (COUNT(?c) AS ?n_customers) (AVG(?bal) AS ?avg_bal)
+WHERE {{ GRAPH <{G}> {{
+    ?c a t:Customer ;
+       t:inNation ?nat ;
+       t:acctBal ?bal .
+    ?nat rdfs:label ?nlabel .
+}} }} GROUP BY ?nlabel HAVING (AVG(?bal) >= 4500)"""
+
+
+def q_sparql_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING over a non-COUNT aggregate: nations whose
+    customers average ≥ 4500 in balance (12 of 25 at both gate scales —
+    the constraint genuinely filters). The HAVING aggregate compiles to
+    a hidden column of the same hash aggregate, filtered then dropped
+    (query/sparql.py:_compile_select); AVG follows the exact
+    decimal(38,6)-sum ÷ count pathway so partial aggregation is
+    order-independent, and the oracle mirrors that computation."""
+    from ontograph_spark.query import sparql_select
+
+    return sparql_select(quads_df(spark, sf_dir), _SPARQL_HAVING)
+
+
+_SQL_SPARQL_HAVING = f"""{_W}
+SELECT nl.obj AS nlabel, count(*) AS n_customers,
+       CAST(sum(TRY_CAST(regexp_extract(b.obj, '"([^"]*)"', 1)
+                AS DECIMAL(38,6))) AS DOUBLE)
+         / count(regexp_extract(b.obj, '"([^"]*)"', 1)) AS avg_bal
+FROM quads ty
+JOIN quads e ON e.subj = ty.subj AND e.pred = '<{G}#inNation>'
+JOIN quads b ON b.subj = ty.subj AND b.pred = '<{G}#acctBal>'
+JOIN quads nl ON nl.subj = e.obj AND nl.pred = '{LABEL}'
+WHERE ty.pred = '{RDF_TYPE}' AND ty.obj = '<{G}#Customer>'
+GROUP BY nl.obj
+HAVING CAST(sum(TRY_CAST(regexp_extract(b.obj, '"([^"]*)"', 1)
+                AS DECIMAL(38,6))) AS DOUBLE)
+         / count(regexp_extract(b.obj, '"([^"]*)"', 1)) >= 4500
+"""
+
+
+_SPARQL_SUBQUERY = f"""
+PREFIX t: <{G}#>
+SELECT ?nlabel ?cnt WHERE {{
+    GRAPH <{G}> {{ ?nat a t:Nation ; rdfs:label ?nlabel . }}
+    {{ SELECT ?nat (COUNT(?s) AS ?cnt) WHERE {{ GRAPH <{G}> {{
+        ?s a t:Supplier ; t:inNation ?nat .
+    }} }} GROUP BY ?nat }}
+}}"""
+
+
+def q_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{ SELECT … } subquery (SPARQL 1.1 §12): per-nation supplier
+    counts computed bottom-up, then equi-joined into the enclosing
+    group on the projected ?nat — one aggregate plus one hash join, the
+    same plan a hand-written DataFrame would get
+    (query/sparql.py Group.subqueries compilation)."""
+    from ontograph_spark.query import sparql_select
+
+    return sparql_select(quads_df(spark, sf_dir), _SPARQL_SUBQUERY)
+
+
+_SQL_SPARQL_SUBQUERY = f"""{_W},
+cnt AS (
+  SELECT e.obj AS nat, count(*) AS cnt
+  FROM quads st
+  JOIN quads e ON e.subj = st.subj AND e.pred = '<{G}#inNation>'
+  WHERE st.pred = '{RDF_TYPE}' AND st.obj = '<{G}#Supplier>'
+  GROUP BY e.obj
+)
+SELECT l.obj AS nlabel, cnt.cnt AS cnt
+FROM quads ty
+JOIN quads l ON l.subj = ty.subj AND l.pred = '{LABEL}'
+JOIN cnt ON cnt.nat = ty.subj
+WHERE ty.pred = '{RDF_TYPE}' AND ty.obj = '<{G}#Nation>'
+"""
+
+
+_SPARQL_NEGPATH = f"""
+PREFIX t: <{G}#>
+SELECT ?s ?o WHERE {{ GRAPH <{G}> {{
+    ?s !(rdf:type|rdfs:label|t:acctBal|t:mktSegment) ?o .
+}} }}"""
+
+
+def q_sparql_negpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negated property set ``!(iri|…)`` (SPARQL 1.1 §9.1): every edge
+    whose predicate is NOT in the set — here exactly the inNation +
+    locatedIn graph edges. Compiles to one pushed-down
+    ``pred NOT IN (…)`` scan filter, no join
+    (query/sparql.py:_path_edges "neg" kind)."""
+    from ontograph_spark.query import sparql_select
+
+    return sparql_select(quads_df(spark, sf_dir), _SPARQL_NEGPATH)
+
+
+_SQL_SPARQL_NEGPATH = f"""{_W}
+SELECT subj AS s, obj AS o FROM quads
+WHERE pred NOT IN ('{RDF_TYPE}', '{LABEL}', '<{G}#acctBal>', '<{G}#mktSegment>')
+"""
+
+
+_SPARQL_GROUPCONCAT = f"""
+PREFIX t: <{G}#>
+SELECT ?rlabel (GROUP_CONCAT(?nlabel; SEPARATOR=",") AS ?nations)
+WHERE {{ GRAPH <{G}> {{
+    ?n t:locatedIn ?r ;
+       rdfs:label ?nlabel .
+    ?r rdfs:label ?rlabel .
+}} }} GROUP BY ?rlabel"""
+
+
+def q_sparql_groupconcat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP_CONCAT with SEPARATOR: nation labels per region. SPARQL
+    leaves concat order implementation-defined; this engine sorts the
+    collected values (query/sparql.py:_agg_column) so the result is
+    deterministic and cross-engine-comparable — the oracle's string_agg
+    uses the same ORDER BY."""
+    from ontograph_spark.query import sparql_select
+
+    return sparql_select(quads_df(spark, sf_dir), _SPARQL_GROUPCONCAT)
+
+
+_SQL_SPARQL_GROUPCONCAT = f"""{_W}
+SELECT rl.obj AS rlabel,
+       string_agg(regexp_extract(nl.obj, '"([^"]*)"', 1), ','
+                  ORDER BY regexp_extract(nl.obj, '"([^"]*)"', 1)) AS nations
+FROM quads loc
+JOIN quads nl ON nl.subj = loc.subj AND nl.pred = '{LABEL}'
+JOIN quads rl ON rl.subj = loc.obj AND rl.pred = '{LABEL}'
+WHERE loc.pred = '<{G}#locatedIn>'
+GROUP BY rl.obj
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2243,6 +2415,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_minus": q_sparql_minus,
         "sparql_values": q_sparql_values,
         "sparql_nested_opt": q_sparql_nested_opt,
+        "sparql_exists": q_sparql_exists,
+        "sparql_having": q_sparql_having,
+        "sparql_subquery": q_sparql_subquery,
+        "sparql_negpath": q_sparql_negpath,
+        "sparql_groupconcat": q_sparql_groupconcat,
     }
 
 
@@ -2310,6 +2487,11 @@ def oracle_sql() -> dict[str, str]:
         "sparql_minus": _SQL_SPARQL_MINUS,
         "sparql_values": _SQL_SPARQL_VALUES,
         "sparql_nested_opt": _SQL_SPARQL_NESTED_OPT,
+        "sparql_exists": _SQL_SPARQL_EXISTS,
+        "sparql_having": _SQL_SPARQL_HAVING,
+        "sparql_subquery": _SQL_SPARQL_SUBQUERY,
+        "sparql_negpath": _SQL_SPARQL_NEGPATH,
+        "sparql_groupconcat": _SQL_SPARQL_GROUPCONCAT,
         # multimodal: the Arrow mapInPandas stages aren't SQL-expressible,
         # but their input is a deterministic fixed-size synth table, so
         # the rollups are golden VALUES pins (derived in pure Python,

@@ -16,29 +16,44 @@ tests/test_sparql_query.py alongside the repo's own
 
 * ``PREFIX`` declarations + prefixed names + ``a`` ≡ ``rdf:type``;
 * ``SELECT [DISTINCT] ?v … | * | (AGG([DISTINCT] *|?v) AS ?n)`` where
-  ``AGG`` is COUNT / SUM / AVG / MIN / MAX, with ``GROUP BY ?v …`` for
+  ``AGG`` is COUNT / SUM / AVG / MIN / MAX / SAMPLE /
+  ``GROUP_CONCAT(?v; SEPARATOR="…")``, with ``GROUP BY ?v …`` for
   grouped aggregates (mixed ``?var``/aggregate entries; one hash
-  aggregate, ``ORDER BY``/``LIMIT`` after it give top-k groups). A
-  projected variable the pattern never binds is a null column (SPARQL
-  unbound), which is how the reference's fixed-slot ``SELECT ?s ?p ?o``
-  strings answer;
+  aggregate, ``ORDER BY``/``LIMIT`` after it give top-k groups) and
+  ``HAVING (constraint)`` filters whose aggregate calls compile to
+  hidden aggregate columns. A projected variable the pattern never
+  binds is a null column (SPARQL unbound), which is how the
+  reference's fixed-slot ``SELECT ?s ?p ?o`` strings answer;
+* ``{ SELECT … }`` subqueries: evaluated bottom-up against the same
+  dataset and joined into the enclosing group on their projected
+  variables (SPARQL 1.1 §12);
 * ``FROM <iri>`` dataset clauses: patterns outside an explicit ``GRAPH``
   block are scoped to the named graph(s) (several FROMs = the union);
 * basic graph patterns with ``;`` / ``,`` predicate-object list sugar;
 * **property paths** in the predicate position: ``iri+`` ``iri*``
-  ``iri?``, inverse ``^iri``, sequence ``p1/p2``, alternative ``p1|p2``
+  ``iri?``, inverse ``^iri``, sequence ``p1/p2``, alternative ``p1|p2``,
+  negated property sets ``!iri`` / ``!(iri|…)`` (forward members only)
   and parenthesised combinations — compiled to iterative distributed
   closure (see "Scale shape" below);
 * ``GRAPH <uri> { … }`` / ``GRAPH ?g { … }`` scoping;
-* ``FILTER`` with ``= != < <= > >= && || !``, ``BOUND(?v)``, the string
-  tests ``REGEX(?v, "pat"[, "i"])`` / ``STRSTARTS`` / ``CONTAINS`` (over
-  the literal's value), and the accessors ``LANG(?v)`` / ``DATATYPE(?v)``
-  / ``STR(?v)`` in comparisons;
+* ``FILTER`` with ``= != < <= > >= && || !``, ``BOUND(?v)``,
+  ``?v [NOT] IN (const, …)``, the type tests ``isIRI``/``isURI``/
+  ``isLiteral``/``isBlank``/``isNumeric``, the string tests
+  ``REGEX(?v, "pat"[, "i"])`` / ``STRSTARTS`` / ``CONTAINS`` (over
+  the literal's value), the accessors ``LANG(?v)`` / ``DATATYPE(?v)``
+  / ``STR(?v)`` in comparisons, and ``[NOT] EXISTS { … }`` — a
+  top-level [NOT] EXISTS compiles to a semi/anti join on the shared
+  variables (substitution semantics for possibly-unbound shared vars
+  via a null-tolerant condition); EXISTS nested inside ``&&``/``||``/
+  ``!`` materializes a boolean marker column through a cardinality-
+  preserving left join (all-bound shared vars only — the unbound
+  nested case raises instead of answering wrong);
 * ``BIND(expr AS ?v)`` where ``expr`` is a variable, a constant, an
-  accessor (``STR``/``LANG``/``DATATYPE``) or ``CONCAT(…)`` of string
-  operands — applied at the end of its group, before that group's
-  FILTERs (a documented simplification of SPARQL's position-sensitive
-  BIND; every reference-shaped and test query satisfies it);
+  accessor (``STR``/``LANG``/``DATATYPE``), ``CONCAT(…)`` of string
+  operands, ``COALESCE(expr, …)`` or ``IF(boolean, expr, expr)`` —
+  applied at the end of its group, before that group's FILTERs (a
+  documented simplification of SPARQL's position-sensitive BIND; every
+  reference-shaped and test query satisfies it);
 * ``OPTIONAL { … }`` (nested OPTIONALs use SPARQL's
   unbound-is-compatible left join — see below), ``{ … } UNION { … }``,
   and ``MINUS { … }`` (an anti-join on shared variables; a MINUS group
@@ -55,11 +70,11 @@ tests/test_sparql_query.py alongside the repo's own
 * ``CONSTRUCT { template } [FROM <g>] WHERE { … }`` (the reference's
   Turtle-export form) via :func:`sparql_construct`.
 
-Out of scope (documented, not silently wrong): subqueries, blank nodes
+Out of scope (documented, not silently wrong): blank nodes
 (unsupported across the reference too — SURVEY.md §2.1),
-``FROM NAMED``, negated property paths (``!iri``), property paths under
-``GRAPH ?var`` (closure per graph binding), and SPARQL's full
-operator-precedence value type system. Non-COUNT aggregates are numeric:
+``FROM NAMED``, inverse members in negated property sets (``!^iri``),
+property paths under ``GRAPH ?var`` (closure per graph binding), and
+SPARQL's full operator-precedence value type system. Non-COUNT aggregates are numeric:
 the operand is the literal's value ``try_cast`` to ``decimal(38,6)``
 (exact, order-independent partial aggregation — no float-summation
 nondeterminism across partitions) and the result is emitted as a double;
@@ -219,6 +234,9 @@ class Group:
     values: list[tuple[list[str], list[list[str | None]]]] = field(
         default_factory=list
     )
+    #: nested ``{ SELECT … }`` subqueries (SPARQL 1.1 §12) — evaluated
+    #: bottom-up and joined into the group on their projected variables
+    subqueries: list["Query"] = field(default_factory=list)
 
     def is_plain_triples(self) -> bool:
         """True when the group is a bare triple block (CONSTRUCT
@@ -231,6 +249,7 @@ class Group:
             or self.unions
             or self.minuses
             or self.values
+            or self.subqueries
         )
 
 
@@ -239,13 +258,18 @@ class Query:
     kind: str  # "select" | "ask" | "construct"
     group: Group
     projection: list[str] | None = None  # plain projected vars; None = *
-    #: aggregate projections: (as_var, func, agg_var | None for *, distinct)
-    aggs: list[tuple[str, str, str | None, bool]] = field(default_factory=list)
+    #: aggregate projections:
+    #: (as_var, func, agg_var | None for *, distinct, separator | None)
+    aggs: list[tuple[str, str, str | None, bool, str | None]] = field(
+        default_factory=list
+    )
     #: output column order as written in the SELECT clause
     proj_order: list[str] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
     distinct: bool = False
     order: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
+    #: HAVING constraints — expression ASTs that may contain ("aggexpr", …)
+    having: list = field(default_factory=list)
     limit: int | None = None
     offset: int | None = None
     template: list[Pattern] = field(default_factory=list)  # CONSTRUCT only
@@ -253,7 +277,7 @@ class Query:
     dataset: list[str] = field(default_factory=list)
 
 
-_AGG_FUNCS = ("COUNT", "SUM", "AVG", "MIN", "MAX")
+_AGG_FUNCS = ("COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE")
 
 
 # --------------------------------------------------------------------------
@@ -363,7 +387,22 @@ class _Parser:
         if self.at_op("^"):
             self.next()
             inv = True
-        if self.at_op("("):
+        if self.at_op("!"):
+            # negated property set !iri / !(iri|iri|…) — forward
+            # predicates only (an inverse ^iri member raises)
+            self.next()
+            members: list[str] = []
+            if self.at_op("("):
+                self.next()
+                members.append(self._parse_neg_member())
+                while self.at_op("|"):
+                    self.next()
+                    members.append(self._parse_neg_member())
+                self.expect_op(")")
+            else:
+                members.append(self._parse_neg_member())
+            node = ("neg", members)
+        elif self.at_op("("):
             self.next()
             node = self._parse_path()
             self.expect_op(")")
@@ -389,6 +428,20 @@ class _Parser:
             self.next()
             node = ("zeroone", node)
         return node
+
+    def _parse_neg_member(self) -> str:
+        if self.at_op("^"):
+            raise SparqlSyntaxError(
+                "inverse members in a negated property set are not supported"
+            )
+        kind, text = self.next()
+        if kind == "IRI":
+            return text
+        if kind == "PNAME":
+            return self.expand_pname(text)
+        if kind == "NAME" and text == "a":
+            return f"<{vocab.RDF_TYPE}>"
+        raise SparqlSyntaxError(f"expected IRI in negated set, got {text!r}")
 
     # -- query ---------------------------------------------------------------
 
@@ -422,15 +475,21 @@ class _Parser:
             # PNAME here is "pfx:" (empty local) — tokenized as PNAME only
             # when a local part follows, so accept both "pfx:" and "pfx:x"
             self.prefixes[pname.split(":", 1)[0]] = iri[1:-1]
+        q = self._parse_query_main()
+        if self.peek() is not None:
+            raise SparqlSyntaxError(f"trailing tokens at {self.peek()}")
+        return q
+
+    def _parse_query_main(self) -> Query:
+        """One query form, without the PREFIX prologue or the trailing-
+        token check — also the entry point for ``{ SELECT … }``
+        subqueries, which share the prologue with the outer query."""
         if self.at_kw("ASK"):
             self.next()
             dataset = self._parse_dataset()
             if self.at_kw("WHERE"):  # "ASK WHERE { … }", blazegraph_store.go:294
                 self.next()
-            q = Query(kind="ask", group=self.parse_group(), dataset=dataset)
-            if self.peek() is not None:
-                raise SparqlSyntaxError(f"trailing tokens at {self.peek()}")
-            return q
+            return Query(kind="ask", group=self.parse_group(), dataset=dataset)
         if self.at_kw("CONSTRUCT"):
             self.next()
             template = self.parse_group()
@@ -449,8 +508,6 @@ class _Parser:
                 dataset=dataset,
             )
             self._parse_modifiers(q)
-            if self.peek() is not None:
-                raise SparqlSyntaxError(f"trailing tokens at {self.peek()}")
             return q
         self.expect_kw("SELECT")
         q = Query(kind="select", group=Group())
@@ -482,15 +539,11 @@ class _Parser:
             self.next()
         q.group = self.parse_group()
         self._parse_modifiers(q)
-        if self.peek() is not None:
-            raise SparqlSyntaxError(f"trailing tokens at {self.peek()}")
         return q
 
-    def _parse_agg_entry(self) -> tuple[str, str, str | None, bool]:
-        """``(AGG([DISTINCT] *|?v) AS ?alias)`` — COUNT/SUM/AVG/MIN/MAX."""
-        self.expect_op("(")
-        if not self.at_kw(*_AGG_FUNCS):
-            raise SparqlSyntaxError(f"expected aggregate at {self.peek()}")
+    def _parse_agg_call(self) -> tuple[str, str | None, bool, str | None]:
+        """``AGG([DISTINCT] *|?v [; SEPARATOR="…"])`` after the function
+        name has been peeked — returns (func, var|None, distinct, sep)."""
         func = self.next()[1].upper()
         self.expect_op("(")
         cdistinct = False
@@ -507,13 +560,33 @@ class _Parser:
             if kind != "VAR":
                 raise SparqlSyntaxError(f"{func} of {text!r} unsupported")
             cvar = text[1:]
+        sep: str | None = None
+        if self.at_op(";"):
+            if func != "GROUP_CONCAT":
+                raise SparqlSyntaxError(f"{func} takes no SEPARATOR")
+            self.next()
+            self.expect_kw("SEPARATOR")
+            self.expect_op("=")
+            kind, text = self.next()
+            if kind != "STRING" or not re.fullmatch(r'"[^"]*"', text):
+                raise SparqlSyntaxError("SEPARATOR needs a plain string")
+            sep = text[1:-1]
         self.expect_op(")")
+        return (func, cvar, cdistinct, sep)
+
+    def _parse_agg_entry(self) -> tuple[str, str, str | None, bool, str | None]:
+        """``(AGG([DISTINCT] *|?v) AS ?alias)`` — COUNT/SUM/AVG/MIN/MAX/
+        GROUP_CONCAT/SAMPLE."""
+        self.expect_op("(")
+        if not self.at_kw(*_AGG_FUNCS):
+            raise SparqlSyntaxError(f"expected aggregate at {self.peek()}")
+        func, cvar, cdistinct, sep = self._parse_agg_call()
         self.expect_kw("AS")
         kind, text = self.next()
         if kind != "VAR":
             raise SparqlSyntaxError(f"{func} needs (… AS ?var)")
         self.expect_op(")")
-        return (text[1:], func, cvar, cdistinct)
+        return (text[1:], func, cvar, cdistinct, sep)
 
     def _parse_modifiers(self, q: Query) -> None:
         while True:
@@ -542,6 +615,12 @@ class _Parser:
                     q.group_by.append(self.next()[1][1:])
                 if not q.group_by:
                     raise SparqlSyntaxError("empty GROUP BY")
+            elif self.at_kw("HAVING"):
+                self.next()
+                if not self.at_op("("):
+                    raise SparqlSyntaxError("HAVING needs (constraint)")
+                while self.at_op("("):
+                    q.having.append(self._parse_expr())
             elif self.at_kw("LIMIT"):
                 self.next()
                 q.limit = int(self.next()[1])
@@ -589,6 +668,20 @@ class _Parser:
             elif self.at_kw("MINUS"):
                 self.next()
                 g.minuses.append(self.parse_group(graph=graph))
+            elif self.at_op("{") and self._next_is_select():
+                # { SELECT … } subquery (SPARQL 1.1 §12): parsed with the
+                # shared prologue, evaluated bottom-up, joined on its
+                # projected variables
+                self.next()
+                sub = self._parse_query_main()
+                self.expect_op("}")
+                if sub.kind != "select":
+                    raise SparqlSyntaxError("subqueries must be SELECT")
+                if self.at_kw("UNION"):
+                    raise SparqlSyntaxError(
+                        "a subquery as a UNION branch is not supported"
+                    )
+                g.subqueries.append(sub)
             elif self.at_op("{"):
                 branches = [self.parse_group(graph=graph)]
                 while self.at_kw("UNION"):
@@ -652,6 +745,10 @@ class _Parser:
             raise SparqlSyntaxError("VALUES cells must be terms or UNDEF")
         return val
 
+    def _next_is_select(self) -> bool:
+        t = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+        return t is not None and t[0] == "NAME" and t[1].upper() == "SELECT"
+
     @staticmethod
     def _merge(g: Group, inner: Group) -> None:
         g.patterns.extend(inner.patterns)
@@ -662,6 +759,7 @@ class _Parser:
         g.unions.extend(inner.unions)
         g.minuses.extend(inner.minuses)
         g.values.extend(inner.values)
+        g.subqueries.extend(inner.subqueries)
 
     def _parse_triples_block(self, g: Group, graph: Slot | None) -> None:
         subj = self.parse_slot()
@@ -715,11 +813,37 @@ class _Parser:
         if t is not None and t[0] == "OP" and t[1] in ("=", "!=", "<", "<=", ">", ">="):
             op = self.next()[1]
             return ("cmp", op, lhs, self._parse_primary())
+        negated = False
+        if self.at_kw("NOT") and self._next_is_in():
+            self.next()
+            negated = True
+        if self.at_kw("IN"):
+            self.next()
+            self.expect_op("(")
+            items = []
+            while not self.at_op(")"):
+                items.append(self._parse_primary())
+                if self.at_op(","):
+                    self.next()
+            self.next()
+            if not all(a[0] in ("term", "str", "num") for a in items):
+                raise SparqlSyntaxError("IN list items must be constants")
+            node = ("in", lhs, items)
+            return ("not", node) if negated else node
         return lhs
+
+    def _next_is_in(self) -> bool:
+        t = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+        return t is not None and t[0] == "NAME" and t[1].upper() == "IN"
+
+    def _next_is_lparen(self) -> bool:
+        t = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+        return t is not None and t == ("OP", "(")
 
     def _parse_bind_expr(self):
         """A value-producing BIND expression: variable, constant,
-        accessor, or CONCAT of string operands."""
+        accessor, CONCAT of string operands, COALESCE of value
+        expressions, or IF(boolean, then, else)."""
         if self.at_kw("CONCAT"):
             self.next()
             self.expect_op("(")
@@ -729,6 +853,25 @@ class _Parser:
                 args.append(self._parse_primary())
             self.expect_op(")")
             return ("concat", args)
+        if self.at_kw("COALESCE"):
+            self.next()
+            self.expect_op("(")
+            args = [self._parse_bind_expr()]
+            while self.at_op(","):
+                self.next()
+                args.append(self._parse_bind_expr())
+            self.expect_op(")")
+            return ("coalesce", args)
+        if self.at_kw("IF"):
+            self.next()
+            self.expect_op("(")
+            cond = self._parse_expr()
+            self.expect_op(",")
+            then = self._parse_bind_expr()
+            self.expect_op(",")
+            other = self._parse_bind_expr()
+            self.expect_op(")")
+            return ("if", cond, then, other)
         return self._parse_primary()
 
     def _parse_primary(self):
@@ -737,6 +880,24 @@ class _Parser:
             node = self._parse_expr()
             self.expect_op(")")
             return node
+        if self.at_kw("EXISTS"):
+            self.next()
+            return ("exists", self.parse_group())
+        if self.at_kw("NOT"):
+            self.next()
+            self.expect_kw("EXISTS")
+            return ("not", ("exists", self.parse_group()))
+        if self.at_kw(*_AGG_FUNCS) and self._next_is_lparen():
+            func, cvar, cdistinct, sep = self._parse_agg_call()
+            return ("aggexpr", func, cvar, cdistinct, sep)
+        if self.at_kw("ISIRI", "ISURI", "ISLITERAL", "ISBLANK", "ISNUMERIC"):
+            name = self.next()[1].upper()
+            self.expect_op("(")
+            kind, text = self.next()
+            if kind != "VAR":
+                raise SparqlSyntaxError(f"{name} needs a ?var")
+            self.expect_op(")")
+            return ("tfunc", "ISIRI" if name == "ISURI" else name, text[1:])
         if self.at_kw("BOUND"):
             self.next()
             self.expect_op("(")
@@ -854,6 +1015,15 @@ def _path_edges(quads: DataFrame, node: tuple, g, dataset) -> DataFrame:
         return (
             _scoped(quads, g, dataset)
             .where(F.col("pred") == F.lit(node[1]))
+            .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+            .distinct()
+        )
+    if kind == "neg":
+        # negated property set: every edge whose predicate is NOT in the
+        # set — still one pushed scan (NOT IN is a pushable predicate)
+        return (
+            _scoped(quads, g, dataset)
+            .where(~F.col("pred").isin(node[1]))
             .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
             .distinct()
         )
@@ -1082,8 +1252,39 @@ def _compile_expr(node, columns: set[str]) -> Column:
         if node[1] not in columns:
             return F.lit(False)
         return F.col(node[1]).isNotNull()
+    if kind == "marker":
+        return F.col(node[1])
     if kind == "cmp":
         return _compile_cmp(node[1], node[2], node[3], columns)
+    if kind == "in":
+        lhs, items = node[1], node[2]
+        if any(a[0] == "num" for a in items):
+            mode = "num"
+        elif any(a[0] == "str" for a in items):
+            mode = "value"
+        else:
+            mode = "term"
+        lc = _cmp_side(lhs, mode, columns)
+        return lc.isin([a[1] for a in items])
+    if kind == "tfunc":
+        name, var = node[1], node[2]
+        if var not in columns:
+            return F.lit(False)  # type error on unbound ⇒ effective false
+        col = F.col(var)
+        if name == "ISIRI":
+            return col.startswith("<")
+        if name == "ISLITERAL":
+            return col.startswith('"')
+        if name == "ISBLANK":
+            return F.lit(False)  # blank nodes out of scope (SURVEY §2.1)
+        # ISNUMERIC: a literal whose value parses as a number
+        return col.startswith('"') & term_value_col(col).try_cast(
+            "double"
+        ).isNotNull()
+    if kind == "aggexpr":
+        raise SparqlSyntaxError(
+            "aggregate calls are only valid inside HAVING constraints"
+        )
     if kind == "sfunc":
         name, args = node[1], node[2]
         subject = _string_operand(args[0], columns)
@@ -1152,11 +1353,24 @@ def _bind_value(node, columns: set[str]) -> Column:
             else:
                 parts.append(_string_operand(a, columns))
         return F.concat(F.lit('"'), *parts, F.lit('"'))
+    if kind == "coalesce":
+        return F.coalesce(*[_bind_value(a, columns) for a in node[1]])
+    if kind == "if":
+        return F.when(
+            _compile_expr(node[1], columns), _bind_value(node[2], columns)
+        ).otherwise(_bind_value(node[3], columns))
     raise SparqlSyntaxError(f"{node!r} is not a BIND value expression")
 
 
 def _operand_mode(node) -> str:
-    modes = {"num": "num", "str": "value", "term": "term", "var": "var", "acc": "acc"}
+    modes = {
+        "num": "num",
+        "str": "value",
+        "term": "term",
+        "var": "var",
+        "acc": "acc",
+        "hcol": "raw",
+    }
     if node[0] not in modes:
         raise SparqlSyntaxError(f"{node!r} cannot appear in a comparison")
     return modes[node[0]]
@@ -1164,13 +1378,16 @@ def _operand_mode(node) -> str:
 
 def _cmp_side(node, mode: str, columns: set[str]) -> Column:
     kind = node[0]
+    if kind == "hcol":
+        # a hidden HAVING aggregate column — already a numeric Column
+        return F.col(node[1])
     if kind == "acc":
         return _string_operand(node, columns)
     if kind == "var":
         if node[1] not in columns:
             raise SparqlSyntaxError(f"FILTER references unbound ?{node[1]}")
         col = F.col(node[1])
-        if mode == "num":
+        if mode in ("num", "raw"):
             return term_value_col(col).try_cast("double")
         if mode in ("value", "acc"):
             return term_value_col(col)
@@ -1190,6 +1407,8 @@ def _compile_cmp(op: str, lhs, rhs, columns: set[str]) -> Column:
     modes = {_operand_mode(lhs), _operand_mode(rhs)}
     if modes == {"var"}:
         mode = "term"
+    elif "raw" in modes:
+        mode = "raw"
     elif "acc" in modes:
         mode = "acc"
     elif "num" in modes:
@@ -1208,6 +1427,85 @@ def _compile_cmp(op: str, lhs, rhs, columns: set[str]) -> Column:
         ">": lc > rc,
         ">=": lc >= rc,
     }[op]
+
+
+def _exists_join(
+    df: DataFrame,
+    inner: DataFrame,
+    how: str,
+    nullable: set[str],
+    inull: set[str],
+) -> DataFrame:
+    """FILTER EXISTS / NOT EXISTS as a semi / anti join on the shared
+    variables. Semi/anti joins never change left cardinality, so SPARQL's
+    substitution semantics for a possibly-unbound shared variable is just
+    a null-tolerant join condition (an unbound outer var is a free inner
+    var ⇒ matches anything). No shared variables ⇒ the test is global
+    non-emptiness: a one-row ``limit(1)`` probe joined on TRUE."""
+    shared = [
+        c for c in df.columns if c in set(inner.columns) and c != "__exists__"
+    ]
+    if not shared:
+        probe = inner.limit(1).select(F.lit(True).alias("__m"))
+        return df.join(probe, F.lit(True), how)
+    right = inner.select(*shared).distinct()
+    if not any(v in nullable or v in inull for v in shared):
+        return df.join(right, on=shared, how=how)
+    for v in shared:
+        right = right.withColumnRenamed(v, f"__r_{v}")
+    cond = F.lit(True)
+    for v in shared:
+        cond = cond & (
+            (df[v] == F.col(f"__r_{v}"))
+            | df[v].isNull()
+            | F.col(f"__r_{v}").isNull()
+        )
+    return df.join(right, cond, how)
+
+
+def _rewrite_exists(
+    quads: DataFrame,
+    df: DataFrame,
+    expr,
+    dataset: list[str],
+    nullable: set[str],
+    counter: list[int],
+) -> tuple[DataFrame, object]:
+    """Replace each ("exists", Group) node nested inside a boolean
+    expression with a boolean marker column materialized by a left join
+    against the subgroup's distinct shared-variable bindings (at most one
+    match per left row ⇒ cardinality preserved). Returns the possibly-
+    extended DataFrame and the rewritten expression AST."""
+    if not isinstance(expr, tuple):
+        return df, expr
+    if expr[0] == "exists":
+        inner, inull = _compile_group_nn(quads, expr[1], dataset)
+        shared = [
+            c
+            for c in df.columns
+            if c in set(inner.columns) and c != "__exists__"
+        ]
+        if any(v in nullable or v in inull for v in shared):
+            raise SparqlSyntaxError(
+                "EXISTS nested in a boolean expression over a possibly-"
+                "unbound shared variable is not supported; lift it to a "
+                "top-level FILTER [NOT] EXISTS"
+            )
+        mk = f"__ex{counter[0]}__"
+        counter[0] += 1
+        if not shared:
+            probe = inner.limit(1).select(F.lit(True).alias(mk))
+            df = df.join(probe, F.lit(True), "left")
+        else:
+            right = inner.select(*shared).distinct().withColumn(mk, F.lit(True))
+            df = df.join(right, on=shared, how="left")
+        df = df.withColumn(mk, F.coalesce(F.col(mk), F.lit(False)))
+        return df, ("marker", mk)
+    out = [expr[0]]
+    for part in expr[1:]:
+        df, part2 = _rewrite_exists(quads, df, part, dataset, nullable, counter)
+        out.append(part2)
+    return df, tuple(out)
 
 
 def _compile_group(
@@ -1260,6 +1558,10 @@ def _compile_group_nn(
             nullable |= bnull | missing
             u = bdf if u is None else u.unionByName(bdf, allowMissingColumns=True)
         df = u if df is None else _join_shared(df, u, lnull=nullable, rnull=nullable)
+    for sub in g.subqueries:
+        sdf, snull = _compile_select(quads, sub, dataset)
+        nullable |= snull
+        df = sdf if df is None else _join_shared(df, sdf, lnull=nullable, rnull=snull)
     if df is None:
         raise SparqlSyntaxError("empty group graph pattern")
     for opt in g.optionals:
@@ -1273,8 +1575,23 @@ def _compile_group_nn(
             raise SparqlSyntaxError(f"BIND reassigns already-bound ?{var}")
         df = df.withColumn(var, _bind_value(expr, set(df.columns)))
         nullable.add(var)
+    counter = [0]
     for expr in g.filters:
+        # FILTER [NOT] EXISTS at the top of the constraint is a semi/anti
+        # join (never materializes a marker); EXISTS nested deeper in the
+        # boolean expression joins in a marker column first
+        if expr[0] == "exists":
+            idf, inull = _compile_group_nn(quads, expr[1], dataset)
+            df = _exists_join(df, idf, "left_semi", nullable, inull)
+            continue
+        if expr[0] == "not" and isinstance(expr[1], tuple) and expr[1][0] == "exists":
+            idf, inull = _compile_group_nn(quads, expr[1][1], dataset)
+            df = _exists_join(df, idf, "left_anti", nullable, inull)
+            continue
+        df, expr = _rewrite_exists(quads, df, expr, dataset, nullable, counter)
         df = df.where(_compile_expr(expr, set(df.columns)))
+    if counter[0]:
+        df = df.drop(*[f"__ex{i}__" for i in range(counter[0])])
     for minus in g.minuses:
         mdf, _ = _compile_group_nn(quads, minus, dataset)
         shared = [
@@ -1309,14 +1626,40 @@ def _order_cols(df: DataFrame, order: list[tuple[str, bool]]) -> list[Column]:
 
 
 def _agg_column(
-    df: DataFrame, func: str, cvar: str | None, distinct: bool, alias: str
+    df: DataFrame,
+    func: str,
+    cvar: str | None,
+    distinct: bool,
+    alias: str,
+    sep: str | None = None,
 ) -> Column:
     """One aggregate projection. COUNT works over any terms; SUM/AVG/
     MIN/MAX are numeric — the operand is the literal's value cast to
     decimal(38,6), which makes the partial aggregation exact and
     order-independent across partitions (no float-summation drift); the
     result is emitted as a double. Non-numeric bindings cast to null and
-    are skipped."""
+    are skipped. GROUP_CONCAT joins the literal values sorted (SPARQL
+    leaves the order implementation-defined; sorting makes the result
+    deterministic and oracle-comparable) and returns a plain string;
+    SAMPLE returns the minimum encoded term (a valid, deterministic
+    choice of SPARQL's arbitrary sample)."""
+    if func == "GROUP_CONCAT":
+        if cvar not in df.columns:
+            raise SparqlSyntaxError(f"GROUP_CONCAT of unbound ?{cvar}")
+        # keep OPTIONAL-unbound rows NULL so collect_list/collect_set
+        # skip them (SPARQL aggregates ignore error values) —
+        # term_value_col alone maps NULL to '' via its otherwise branch
+        val = F.when(
+            F.col(cvar).isNotNull(), term_value_col(F.col(cvar))
+        )
+        coll = F.collect_set(val) if distinct else F.collect_list(val)
+        return F.array_join(F.array_sort(coll), sep if sep is not None else " ").alias(
+            alias
+        )
+    if func == "SAMPLE":
+        if cvar not in df.columns:
+            raise SparqlSyntaxError(f"SAMPLE of unbound ?{cvar}")
+        return F.min(F.col(cvar)).alias(alias)
     if func == "COUNT":
         if cvar is None:
             agg = (
@@ -1346,17 +1689,40 @@ def _agg_column(
     return F.max(val).cast("double").alias(alias)  # MAX
 
 
-def sparql_select(quads: DataFrame, query: str) -> DataFrame:
-    """Answer a SPARQL SELECT (subset above) over a quad DataFrame.
-    Returns one string column per projected variable (numeric columns
-    for aggregates); OPTIONAL-unbound and never-bound slots are null.
-    All matching/joining/filtering is DataFrame algebra — nothing runs
-    on the driver."""
-    q = _Parser(query).parse_query()
-    if q.kind != "select":
-        raise SparqlSyntaxError("use sparql_ask for ASK queries")
-    df = _compile_group(quads, q.group, q.dataset)
-    if q.aggs:
+def _rewrite_having(expr, hidden: list):
+    """Replace each ("aggexpr", func, var, distinct, sep) node in a
+    HAVING constraint with a hidden aggregate column reference
+    ("hcol", name), collecting the aggregate specs to compute."""
+    if not isinstance(expr, tuple):
+        return expr
+    if expr[0] == "aggexpr":
+        name = f"__h{len(hidden)}"
+        hidden.append((name, expr[1], expr[2], expr[3], expr[4]))
+        return ("hcol", name)
+    return tuple([expr[0]] + [_rewrite_having(p, hidden) for p in expr[1:]])
+
+
+def _compile_select(
+    quads: DataFrame, q: Query, outer_dataset: list[str] | tuple = ()
+) -> tuple[DataFrame, set[str]]:
+    """Compile a parsed SELECT query to (solutions, maybe-unbound
+    projected variables). Also the evaluation path for ``{ SELECT … }``
+    subqueries, which inherit the outer query's FROM dataset when they
+    declare none (SPARQL evaluates a subquery against the same dataset)."""
+    dataset = q.dataset or list(outer_dataset)
+    df, nullable = _compile_group_nn(quads, q.group, dataset)
+    out_null: set[str] = set()
+    if q.having and not (q.aggs or q.group_by):
+        raise SparqlSyntaxError("HAVING needs GROUP BY or an aggregate")
+    if q.aggs or (q.group_by and q.having):
+        if not q.proj_order:
+            raise SparqlSyntaxError("SELECT * is not valid with GROUP BY")
+        hidden: list = []
+        having_exprs = [_rewrite_having(hx, hidden) for hx in q.having]
+        aggs = [
+            _agg_column(df, func, cvar, cdist, alias, sep)
+            for alias, func, cvar, cdist, sep in q.aggs + hidden
+        ]
         if q.group_by:
             missing = [v for v in q.group_by if v not in df.columns]
             if missing:
@@ -1366,28 +1732,30 @@ def sparql_select(quads: DataFrame, query: str) -> DataFrame:
                 raise SparqlSyntaxError(
                     f"projected vars {stray} must appear in GROUP BY"
                 )
-            aggs = [
-                _agg_column(df, func, cvar, cdist, alias)
-                for alias, func, cvar, cdist in q.aggs
-            ]
             df = df.groupBy(*q.group_by).agg(*aggs)
         else:
             if q.projection:
                 raise SparqlSyntaxError(
                     f"plain ?vars {q.projection} next to aggregates need GROUP BY"
                 )
-            aggs = [
-                _agg_column(df, func, cvar, cdist, alias)
-                for alias, func, cvar, cdist in q.aggs
-            ]
             df = df.agg(*aggs)
+        for hx in having_exprs:
+            df = df.where(_compile_expr(hx, set(df.columns)))
         df = df.select(*q.proj_order)
+        # SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT can be null (no numeric
+        # bindings in the group); group keys inherit their nullability
+        out_null = {
+            alias for alias, func, _, _, _ in q.aggs if func != "COUNT"
+        } | (nullable & set(q.group_by))
     elif q.group_by:
         raise SparqlSyntaxError("GROUP BY needs an aggregate projection")
     elif q.projection is not None:
         # a projected variable the pattern never binds is unbound in every
         # solution (SPARQL), i.e. a null column — the reference's
         # constant-slot SELECT ?s ?p ?o strings rely on this
+        out_null = {
+            v for v in q.projection if v not in df.columns or v in nullable
+        }
         cols = [
             F.col(v) if v in df.columns else F.lit(None).cast("string").alias(v)
             for v in q.projection
@@ -1395,6 +1763,8 @@ def sparql_select(quads: DataFrame, query: str) -> DataFrame:
         df = df.select(*cols)
     elif "__exists__" in df.columns:
         df = df.select(F.col("__exists__").cast("string").alias("__exists__"))
+    else:
+        out_null = nullable & set(df.columns)
     if q.distinct:
         df = df.distinct()
     if q.order:
@@ -1403,7 +1773,19 @@ def sparql_select(quads: DataFrame, query: str) -> DataFrame:
         df = df.offset(q.offset)
     if q.limit is not None:
         df = df.limit(q.limit)
-    return df
+    return df, out_null
+
+
+def sparql_select(quads: DataFrame, query: str) -> DataFrame:
+    """Answer a SPARQL SELECT (subset above) over a quad DataFrame.
+    Returns one string column per projected variable (numeric columns
+    for aggregates, plain strings for GROUP_CONCAT); OPTIONAL-unbound
+    and never-bound slots are null. All matching/joining/filtering is
+    DataFrame algebra — nothing runs on the driver."""
+    q = _Parser(query).parse_query()
+    if q.kind != "select":
+        raise SparqlSyntaxError("use sparql_ask for ASK queries")
+    return _compile_select(quads, q)[0]
 
 
 def sparql_construct(quads: DataFrame, query: str) -> DataFrame:

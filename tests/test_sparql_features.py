@@ -11,6 +11,9 @@
 * Nested-OPTIONAL unbound-compatibility (SPARQL §leftjoin).
 * Value-aware ORDER BY (numeric literals order numerically).
 * PN_LOCAL trailing-dot tokenization ("?s a t:Klass." terminates).
+* FILTER [NOT] EXISTS (top-level semi/anti join; nested boolean marker).
+* HAVING, GROUP_CONCAT/SAMPLE, IN/NOT IN, type tests, COALESCE/IF.
+* { SELECT … } subqueries and negated property sets !(iri|…).
 """
 
 from __future__ import annotations
@@ -459,3 +462,279 @@ def test_two_exists_probes_keep_marker(store):
     df = sparql_select(store.df(), q)
     assert df.columns == ["__exists__"]
     assert df.count() == 1
+
+
+# ---------------------------------------------------------------------------
+# FILTER [NOT] EXISTS
+# ---------------------------------------------------------------------------
+
+
+def test_exists_keeps_matching_solutions(store):
+    q = f"""SELECT ?o WHERE {{
+        <{U}> <{U}#rel-1> ?o .
+        FILTER EXISTS {{ ?o <{U}#rel-2> ?x }}
+    }}"""
+    assert {r[0] for r in sparql_select(store.df(), q).collect()} == {f"<{U}#a>"}
+
+
+def test_not_exists_drops_matching_solutions(store):
+    q = f"""SELECT ?o WHERE {{
+        <{U}> <{U}#rel-1> ?o .
+        FILTER NOT EXISTS {{ ?o <{U}#rel-2> ?x }}
+    }}"""
+    assert {r[0] for r in sparql_select(store.df(), q).collect()} == {
+        f"<{U}#b>",
+        f"<{U}#c>",
+    }
+
+
+def test_exists_with_inner_filter(store):
+    """The inner group is a full group — its own FILTERs apply."""
+    q = f"""SELECT ?o WHERE {{
+        <{U}> <{U}#rel-1> ?o .
+        FILTER NOT EXISTS {{ ?o ?p ?v . FILTER(STR(?v) = "lit1") }}
+    }}"""
+    # only c has a rel-3 "lit1" edge
+    assert {r[0] for r in sparql_select(store.df(), q).collect()} == {
+        f"<{U}#a>",
+        f"<{U}#b>",
+    }
+
+
+def test_exists_no_shared_vars_is_global_probe(store):
+    q = f"""SELECT ?o WHERE {{
+        <{U}> <{U}#rel-1> ?o .
+        FILTER EXISTS {{ ?s <{U}#rel-9> ?x }}
+    }}"""
+    assert sparql_select(store.df(), q).count() == 0
+    q2 = f"""SELECT ?o WHERE {{
+        <{U}> <{U}#rel-1> ?o .
+        FILTER EXISTS {{ ?s <{U}#rel-2> ?x }}
+    }}"""
+    assert sparql_select(store.df(), q2).count() == 3
+
+
+def test_exists_nested_in_boolean(store):
+    q = f"""SELECT ?o WHERE {{
+        <{U}> <{U}#rel-1> ?o .
+        FILTER(EXISTS {{ ?o <{U}#rel-2> ?x }} || ?o = <{U}#b>)
+    }}"""
+    assert {r[0] for r in sparql_select(store.df(), q).collect()} == {
+        f"<{U}#a>",
+        f"<{U}#b>",
+    }
+
+
+def test_exists_nested_unbound_shared_var_raises(store):
+    """A marker-join EXISTS over a possibly-unbound shared var answers
+    wrong under substitution semantics — must raise, not guess. (A bare
+    ``!EXISTS`` is NOT nested: it compiles to the top-level anti join.)"""
+    q = f"""SELECT ?o WHERE {{
+        <{U}> <{U}#rel-1> ?o .
+        OPTIONAL {{ ?o <{U}#rel-2> ?x }}
+        FILTER(EXISTS {{ ?y <{U}#rel-2> ?x }} || ?o = <{U}#zzz>)
+    }}"""
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(store.df(), q).collect()
+
+
+def test_bare_not_exists_is_top_level_anti_join(store):
+    """FILTER(!EXISTS{…}) ≡ FILTER NOT EXISTS{…} — handled by the
+    null-tolerant anti join even with a possibly-unbound shared var."""
+    q = f"""SELECT ?o WHERE {{
+        <{U}> <{U}#rel-1> ?o .
+        OPTIONAL {{ ?o <{U}#rel-2> ?x }}
+        FILTER(!EXISTS {{ ?y <{U}#rel-2> ?x }})
+    }}"""
+    assert sparql_select(store.df(), q).count() == 0
+
+
+def test_not_exists_unbound_shared_var_top_level(store):
+    """Top-level NOT EXISTS with a possibly-unbound shared var uses the
+    null-tolerant anti join: unbound matches anything ⇒ dropped when the
+    inner group is non-empty."""
+    q = f"""SELECT ?o WHERE {{
+        <{U}> <{U}#rel-1> ?o .
+        OPTIONAL {{ ?o <{U}#rel-2> ?x }}
+        FILTER NOT EXISTS {{ ?y <{U}#rel-2> ?x }}
+    }}"""
+    # a binds ?x=b (inner match: a rel-2 b ⇒ dropped); b and c leave ?x
+    # unbound ⇒ compatible with the inner solution ⇒ also dropped
+    assert sparql_select(store.df(), q).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# HAVING / GROUP_CONCAT / SAMPLE
+# ---------------------------------------------------------------------------
+
+
+def test_having_on_count(nums):
+    q = """SELECT ?g (COUNT(?v) AS ?n)
+    WHERE { ?s <urn:nums#val> ?v ; <urn:nums#grp> ?g }
+    GROUP BY ?g HAVING (COUNT(?v) >= 3)"""
+    rows = sparql_select(nums.df(), q).collect()
+    assert [(r["g"], r["n"]) for r in rows] == [('"b"', 3)]
+
+
+def test_having_on_avg_not_projected(nums):
+    """The HAVING aggregate need not appear in the projection."""
+    q = """SELECT ?g
+    WHERE { ?s <urn:nums#val> ?v ; <urn:nums#grp> ?g }
+    GROUP BY ?g HAVING (AVG(?v) < 5)"""
+    rows = sparql_select(nums.df(), q).collect()
+    assert [r["g"] for r in rows] == ['"a"']
+    # and the hidden aggregate column is dropped from the output
+    assert sparql_select(nums.df(), q).columns == ["g"]
+
+
+def test_group_concat_sorted_with_separator(nums):
+    q = """SELECT ?g (GROUP_CONCAT(?v; SEPARATOR=",") AS ?vs)
+    WHERE { ?s <urn:nums#val> ?v ; <urn:nums#grp> ?g } GROUP BY ?g"""
+    rows = {r["g"]: r["vs"] for r in sparql_select(nums.df(), q).collect()}
+    assert rows['"a"'] == "1.500000,2.500000"
+    # lexicographic sort of the values (deterministic, documented)
+    assert rows['"b"'] == "1.000000,10.000000,9.000000"
+
+
+def test_group_concat_skips_unbound(store):
+    """OPTIONAL-unbound operands are ignored by aggregates (SPARQL
+    error-value rule) — not concatenated as empty strings."""
+    q = f"""SELECT (GROUP_CONCAT(?lit; SEPARATOR="|") AS ?ls) WHERE {{
+        <{U}> <{U}#rel-1> ?o .
+        OPTIONAL {{ ?o <{U}#rel-3> ?lit }}
+    }}"""
+    # rel-3 exists on none of a/b/c — wait: rel-3 is on c
+    rows = sparql_select(store.df(), q).collect()
+    assert rows[0]["ls"] == "lit1"
+
+
+def test_sample_is_deterministic_min(nums):
+    q = """SELECT ?g (SAMPLE(?v) AS ?one)
+    WHERE { ?s <urn:nums#val> ?v ; <urn:nums#grp> ?g } GROUP BY ?g"""
+    rows = {r["g"]: r["one"] for r in sparql_select(nums.df(), q).collect()}
+    xsd = "http://www.w3.org/2001/XMLSchema#decimal"
+    assert rows['"a"'] == f'"1.500000"^^<{xsd}>'
+    assert rows['"b"'] == f'"1.000000"^^<{xsd}>'
+
+
+def test_group_concat_needs_separator_string(nums):
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(
+            nums.df(),
+            "SELECT (GROUP_CONCAT(?v; SEPARATOR=?x) AS ?c) "
+            "WHERE { ?s <urn:nums#val> ?v }",
+        )
+
+
+# ---------------------------------------------------------------------------
+# IN / type tests / COALESCE / IF
+# ---------------------------------------------------------------------------
+
+
+def test_filter_in_and_not_in(store):
+    q = f"""SELECT ?o WHERE {{ <{U}> <{U}#rel-1> ?o .
+        FILTER(?o IN (<{U}#a>, <{U}#b>)) }}"""
+    assert {r[0] for r in sparql_select(store.df(), q).collect()} == {
+        f"<{U}#a>",
+        f"<{U}#b>",
+    }
+    q = f"""SELECT ?o WHERE {{ <{U}> <{U}#rel-1> ?o .
+        FILTER(?o NOT IN (<{U}#a>, <{U}#b>)) }}"""
+    assert {r[0] for r in sparql_select(store.df(), q).collect()} == {f"<{U}#c>"}
+
+
+def test_filter_type_tests(store):
+    base = f"SELECT ?o WHERE {{ ?s ?p ?o . FILTER(%s(?o)) }}"
+    iri = sparql_select(store.df(), base % "isIRI").count()
+    uri = sparql_select(store.df(), base % "isURI").count()
+    lit = sparql_select(store.df(), base % "isLiteral").count()
+    blank = sparql_select(store.df(), base % "isBlank").count()
+    assert iri == uri == 4  # a,b,c targets of rel-1 + b target of rel-2
+    assert lit == 3  # lit1, lit2@de, lit3^^dt
+    assert blank == 0
+
+
+def test_filter_is_numeric(nums):
+    q = "SELECT ?o WHERE { ?s <urn:nums#val> ?o . FILTER(isNumeric(?o)) }"
+    assert sparql_select(nums.df(), q).count() == 5
+    q = "SELECT ?o WHERE { ?s <urn:nums#grp> ?o . FILTER(isNumeric(?o)) }"
+    assert sparql_select(nums.df(), q).count() == 0
+
+
+def test_bind_coalesce_and_if(store):
+    q = f"""SELECT ?o ?flag ?fb WHERE {{
+        <{U}> <{U}#rel-1> ?o .
+        OPTIONAL {{ ?o <{U}#rel-2> ?x }}
+        BIND(IF(BOUND(?x), "linked", "bare") AS ?flag)
+        BIND(COALESCE(?x, <{U}#none>) AS ?fb)
+    }}"""
+    rows = {r["o"]: (r["flag"], r["fb"]) for r in sparql_select(store.df(), q).collect()}
+    assert rows[f"<{U}#a>"] == ('"linked"', f"<{U}#b>")
+    assert rows[f"<{U}#b>"] == ('"bare"', f"<{U}#none>")
+    assert rows[f"<{U}#c>"] == ('"bare"', f"<{U}#none>")
+
+
+# ---------------------------------------------------------------------------
+# subqueries
+# ---------------------------------------------------------------------------
+
+
+def test_subquery_joins_on_projected_vars(nums):
+    q = """SELECT ?s ?mx WHERE {
+        ?s <urn:nums#grp> ?g .
+        { SELECT ?g (MAX(?v) AS ?mx) WHERE {
+            ?t <urn:nums#val> ?v ; <urn:nums#grp> ?g } GROUP BY ?g }
+    }"""
+    rows = {r["s"]: r["mx"] for r in sparql_select(nums.df(), q).collect()}
+    assert rows["<urn:nums#a0>"] == rows["<urn:nums#a1>"] == 2.5
+    assert rows["<urn:nums#b0>"] == 10.0
+
+
+def test_subquery_without_shared_vars_cross_joins(nums):
+    q = """SELECT ?g ?total WHERE {
+        ?s <urn:nums#grp> ?g .
+        { SELECT (SUM(?v) AS ?total) WHERE { ?t <urn:nums#val> ?v } }
+    }"""
+    rows = sparql_select(nums.df(), q).collect()
+    assert len(rows) == 5
+    assert all(r["total"] == 24.0 for r in rows)
+
+
+def test_subquery_limit_applies_inside(nums):
+    q = """SELECT ?v WHERE {
+        { SELECT ?v WHERE { ?s <urn:nums#val> ?v } ORDER BY ?v LIMIT 2 }
+    }"""
+    got = sorted(r[0] for r in sparql_select(nums.df(), q).collect())
+    xsd = "http://www.w3.org/2001/XMLSchema#decimal"
+    assert got == [f'"1.000000"^^<{xsd}>', f'"1.500000"^^<{xsd}>']
+
+
+def test_subquery_must_be_select(store):
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(
+            store.df(),
+            "SELECT ?s WHERE { { ASK { ?s ?p ?o } } }",
+        )
+
+
+# ---------------------------------------------------------------------------
+# negated property sets
+# ---------------------------------------------------------------------------
+
+
+def test_negated_single_member(chain):
+    q = "SELECT ?s ?o WHERE { ?s !<urn:chain#label> ?o }"
+    assert sparql_select(chain.df(), q).count() == 4  # the sub edges
+
+
+def test_negated_set(chain):
+    q = "SELECT ?s ?o WHERE { ?s !(<urn:chain#sub>|<urn:chain#other>) ?o }"
+    rows = sparql_select(chain.df(), q).collect()
+    assert [(r["s"], r["o"]) for r in rows] == [("<urn:chain#lone>", '"lone"')]
+
+
+def test_negated_inverse_member_raises(chain):
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(
+            chain.df(), "SELECT ?s WHERE { ?s !(^<urn:chain#sub>) ?o }"
+        )
