@@ -5,5 +5,6 @@ from ontograph_spark.query.sparql import (  # noqa: F401
     SparqlSyntaxError,
     sparql_ask,
     sparql_construct,
+    sparql_describe,
     sparql_select,
 )

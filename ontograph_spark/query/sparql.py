@@ -39,8 +39,11 @@ tests/test_sparql_query.py alongside the repo's own
 * ``FILTER`` with ``= != < <= > >= && || !``, ``BOUND(?v)``,
   ``?v [NOT] IN (const, …)``, the type tests ``isIRI``/``isURI``/
   ``isLiteral``/``isBlank``/``isNumeric``, the string tests
-  ``REGEX(?v, "pat"[, "i"])`` / ``STRSTARTS`` / ``CONTAINS`` (over
-  the literal's value), the accessors ``LANG(?v)`` / ``DATATYPE(?v)``
+  ``REGEX(?v, "pat"[, "i"])`` / ``STRSTARTS`` / ``STRENDS`` /
+  ``CONTAINS`` (over the literal's value), the string builtins
+  ``UCASE``/``LCASE``/``SUBSTR``/``REPLACE``/``STRBEFORE``/``STRAFTER``
+  (composable, plain Column expressions) and numeric ``STRLEN``, the
+  accessors ``LANG(?v)`` / ``DATATYPE(?v)``
   / ``STR(?v)`` in comparisons, and ``[NOT] EXISTS { … }`` — a
   top-level [NOT] EXISTS compiles to a semi/anti join on the shared
   variables (substitution semantics for possibly-unbound shared vars
@@ -273,6 +276,8 @@ class Query:
     limit: int | None = None
     offset: int | None = None
     template: list[Pattern] = field(default_factory=list)  # CONSTRUCT only
+    #: DESCRIBE targets: ("term", iri) constants and ("var", name) slots
+    describe: list[tuple[str, str]] = field(default_factory=list)
     #: FROM <iri> default-graph scope (empty = all graphs)
     dataset: list[str] = field(default_factory=list)
 
@@ -490,6 +495,39 @@ class _Parser:
             if self.at_kw("WHERE"):  # "ASK WHERE { … }", blazegraph_store.go:294
                 self.next()
             return Query(kind="ask", group=self.parse_group(), dataset=dataset)
+        if self.at_kw("DESCRIBE"):
+            self.next()
+            targets: list[tuple[str, str]] = []
+            while True:
+                t = self.peek()
+                if t is None:
+                    break
+                kind, text = t
+                if kind == "VAR":
+                    self.next()
+                    targets.append(("var", text[1:]))
+                elif kind == "IRI":
+                    self.next()
+                    targets.append(("term", text))
+                elif kind == "PNAME":
+                    self.next()
+                    targets.append(("term", self.expand_pname(text)))
+                else:
+                    break
+            if not targets:
+                raise SparqlSyntaxError("DESCRIBE needs IRIs or ?vars")
+            dataset = self._parse_dataset()
+            group = Group()
+            if self.at_kw("WHERE"):
+                self.next()
+                group = self.parse_group()
+            elif self.at_op("{"):
+                group = self.parse_group()
+            if any(k == "var" for k, _ in targets) and group.is_plain_triples() and not group.patterns:
+                raise SparqlSyntaxError("DESCRIBE ?var needs a WHERE group")
+            q = Query(kind="describe", group=group, dataset=dataset)
+            q.describe = targets
+            return q
         if self.at_kw("CONSTRUCT"):
             self.next()
             template = self.parse_group()
@@ -874,6 +912,16 @@ class _Parser:
             return ("if", cond, then, other)
         return self._parse_primary()
 
+    def _parse_call_args(self):
+        """``( expr, … )`` — the argument list of a builtin call."""
+        self.expect_op("(")
+        args = [self._parse_primary()]
+        while self.at_op(","):
+            self.next()
+            args.append(self._parse_primary())
+        self.expect_op(")")
+        return args
+
     def _parse_primary(self):
         if self.at_op("("):
             self.next()
@@ -906,20 +954,40 @@ class _Parser:
                 raise SparqlSyntaxError("BOUND needs a ?var")
             self.expect_op(")")
             return ("bound", text[1:])
-        if self.at_kw("REGEX", "STRSTARTS", "CONTAINS"):
+        if self.at_kw("REGEX", "STRSTARTS", "STRENDS", "CONTAINS"):
             name = self.next()[1].upper()
-            self.expect_op("(")
-            args = [self._parse_primary()]
-            while self.at_op(","):
-                self.next()
-                args.append(self._parse_primary())
-            self.expect_op(")")
+            args = self._parse_call_args()
             want = (2, 3) if name == "REGEX" else (2, 2)
             if not (want[0] <= len(args) <= want[1]):
                 raise SparqlSyntaxError(f"{name} takes {want[0]}-{want[1]} args")
             if not all(a[0] == "str" for a in args[1:]):
                 raise SparqlSyntaxError(f"{name} needs constant string args")
             return ("sfunc", name, args)
+        if self.at_kw("UCASE", "LCASE", "SUBSTR", "REPLACE", "STRBEFORE", "STRAFTER"):
+            name = self.next()[1].upper()
+            args = self._parse_call_args()
+            want = {
+                "UCASE": (1, 1),
+                "LCASE": (1, 1),
+                "SUBSTR": (2, 3),
+                "REPLACE": (3, 3),
+                "STRBEFORE": (2, 2),
+                "STRAFTER": (2, 2),
+            }[name]
+            if not (want[0] <= len(args) <= want[1]):
+                raise SparqlSyntaxError(f"{name} takes {want[0]}-{want[1]} args")
+            tail_kind = "num" if name == "SUBSTR" else "str"
+            if not all(a[0] == tail_kind for a in args[1:]):
+                raise SparqlSyntaxError(
+                    f"{name} needs constant {tail_kind} args after the string"
+                )
+            return ("sxfunc", name, args)
+        if self.at_kw("STRLEN"):
+            self.next()
+            args = self._parse_call_args()
+            if len(args) != 1:
+                raise SparqlSyntaxError("STRLEN takes 1 arg")
+            return ("nfunc", "STRLEN", args[0])
         if self.at_kw("LANG", "DATATYPE", "STR"):
             name = self.next()[1].upper()
             self.expect_op("(")
@@ -1296,6 +1364,8 @@ def _compile_expr(node, columns: set[str]) -> Column:
             return subject.rlike(pattern)
         if name == "STRSTARTS":
             return subject.startswith(consts[0])
+        if name == "STRENDS":
+            return subject.endswith(consts[0])
         return subject.contains(consts[0])  # CONTAINS
     raise SparqlSyntaxError(f"expression {node!r} is not a boolean constraint")
 
@@ -1309,7 +1379,10 @@ _ACCESSORS = {
 
 def _string_operand(node, columns: set[str]) -> Column:
     """An expression operand as a plain string Column: vars via the
-    literal's value, LANG/DATATYPE/STR accessors via the term codec."""
+    literal's value, LANG/DATATYPE/STR accessors via the term codec,
+    plus the SPARQL string builtins (UCASE/LCASE/SUBSTR/REPLACE/
+    STRBEFORE/STRAFTER) applied recursively — all plain Column
+    expressions, whole-stage codegen, no UDFs."""
     kind = node[0]
     if kind == "var":
         if node[1] not in columns:
@@ -1319,6 +1392,35 @@ def _string_operand(node, columns: set[str]) -> Column:
         if node[2] not in columns:
             raise SparqlSyntaxError(f"FILTER references unbound ?{node[2]}")
         return _ACCESSORS[node[1]](F.col(node[2]))
+    if kind == "str":
+        return F.lit(node[1])
+    if kind == "sxfunc":
+        name, args = node[1], node[2]
+        inner = _string_operand(args[0], columns)
+        consts = [a[1] for a in args[1:]]
+        if name == "UCASE":
+            return F.upper(inner)
+        if name == "LCASE":
+            return F.lower(inner)
+        if name == "REPLACE":
+            return F.regexp_replace(inner, consts[0], consts[1])
+        if name == "SUBSTR":
+            # SPARQL §17.4.3.3: 1-based start, optional length
+            start = int(consts[0])
+            if len(consts) == 2:
+                return inner.substr(F.lit(start), F.lit(int(consts[1])))
+            return inner.substr(F.lit(start), F.length(inner))
+        needle = consts[0]
+        if name == "STRBEFORE":
+            # "" when the needle does not occur (SPARQL §17.4.3.12)
+            return F.when(
+                inner.contains(needle), F.substring_index(inner, needle, 1)
+            ).otherwise(F.lit(""))
+        # STRAFTER
+        pos = F.locate(needle, inner)
+        return F.when(
+            pos > 0, inner.substr(pos + len(needle), F.length(inner))
+        ).otherwise(F.lit(""))
     raise SparqlSyntaxError(f"{node!r} is not a string-valued operand")
 
 
@@ -1345,6 +1447,14 @@ def _bind_value(node, columns: set[str]) -> Column:
         if node[1] == "DATATYPE":
             return F.concat(F.lit("<"), inner, F.lit(">"))
         return F.concat(F.lit('"'), inner, F.lit('"'))
+    if kind == "sxfunc":
+        return F.concat(F.lit('"'), _string_operand(node, columns), F.lit('"'))
+    if kind == "nfunc":
+        return F.concat(
+            F.lit('"'),
+            F.length(_string_operand(node[2], columns)).cast("string"),
+            F.lit(f'"^^<{vocab.XSD_INTEGER}>'),
+        )
     if kind == "concat":
         parts = []
         for a in node[1]:
@@ -1369,6 +1479,8 @@ def _operand_mode(node) -> str:
         "term": "term",
         "var": "var",
         "acc": "acc",
+        "sxfunc": "acc",
+        "nfunc": "num",
         "hcol": "raw",
     }
     if node[0] not in modes:
@@ -1381,8 +1493,10 @@ def _cmp_side(node, mode: str, columns: set[str]) -> Column:
     if kind == "hcol":
         # a hidden HAVING aggregate column — already a numeric Column
         return F.col(node[1])
-    if kind == "acc":
+    if kind in ("acc", "sxfunc"):
         return _string_operand(node, columns)
+    if kind == "nfunc":
+        return F.length(_string_operand(node[2], columns))
     if kind == "var":
         if node[1] not in columns:
             raise SparqlSyntaxError(f"FILTER references unbound ?{node[1]}")
@@ -1822,6 +1936,47 @@ def sparql_construct(quads: DataFrame, query: str) -> DataFrame:
     if out is None:
         raise SparqlSyntaxError("empty CONSTRUCT template")
     return out.distinct()
+
+
+def sparql_describe(quads: DataFrame, query: str) -> DataFrame:
+    """Answer a SPARQL DESCRIBE: all triples whose subject is one of the
+    described resources (the common subject-oriented description;
+    DESCRIBE's exact form is implementation-defined, SPARQL 1.1 §16.4 —
+    blank-node closure is moot here, blank nodes are out of scope).
+    Targets are constant IRIs and/or ``?vars`` bound by the WHERE group;
+    variable bindings are gathered distributed (distinct projection, no
+    driver-side set) and the description is ONE semi-join against the
+    quad table — constants become a pushed-down ``subj IN (…)`` scan
+    filter. ``FROM <g>`` scopes both the WHERE group and the described
+    triples. Returns ``(subj, pred, obj)`` rows, distinct."""
+    q = _Parser(query).parse_query()
+    if q.kind != "describe":
+        raise SparqlSyntaxError("use sparql_select/sparql_ask for this query")
+    scope = quads
+    if q.dataset:
+        scope = quads.filter(
+            F.col("graph") == F.lit(q.dataset[0])
+            if len(q.dataset) == 1
+            else F.col("graph").isin(q.dataset)
+        )
+    consts = [v for k, v in q.describe if k == "term"]
+    vars_ = [v for k, v in q.describe if k == "var"]
+    parts: list[DataFrame] = []
+    if consts:
+        parts.append(scope.filter(F.col("subj").isin(consts)))
+    if vars_:
+        sol = _compile_group(quads, q.group, q.dataset)
+        binds: DataFrame | None = None
+        for v in vars_:
+            if v not in sol.columns:
+                raise SparqlSyntaxError(f"DESCRIBE references unbound ?{v}")
+            b = sol.select(F.col(v).alias("subj")).where(F.col(v).isNotNull())
+            binds = b if binds is None else binds.unionByName(b)
+        parts.append(scope.join(binds.distinct(), "subj", "left_semi"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("subj", "pred", "obj").distinct()
 
 
 def parse_group_text(text: str) -> Group:

@@ -306,6 +306,15 @@ class QuadStoreBase:
 
         return sparql_ask(self._df(), query)
 
+    def sparql_describe(self, query: str) -> DataFrame:
+        """Answer a SPARQL DESCRIBE over this store's quad table:
+        ``(subj, pred, obj)`` rows of every triple whose subject is a
+        described resource (subject-oriented description — SPARQL 1.1
+        §16.4 leaves the form implementation-defined)."""
+        from ontograph_spark.query import sparql_describe
+
+        return sparql_describe(self._df(), query)
+
     # -- serialization (graph_store.go #15) -------------------------------
 
     def serialize_to_turtle(self, writer, pretty: bool = False) -> None:

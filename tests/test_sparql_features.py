@@ -738,3 +738,151 @@ def test_negated_inverse_member_raises(chain):
         sparql_select(
             chain.df(), "SELECT ?s WHERE { ?s !(^<urn:chain#sub>) ?o }"
         )
+
+
+# ---------------------------------------------------------------------------
+# string builtins
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def names(spark):
+    from ontograph_spark.ontology.resources import new_triple
+
+    s = MemoryQuadStore(spark, "urn:names")
+    for ent, name in (("a", "Alpha Corp"), ("b", "beta llc"), ("c", "Gamma-Beta Inc")):
+        s.add_triple(
+            new_triple(
+                mk_resource(f"urn:names#{ent}"),
+                mk_resource("urn:names#name"),
+                mk_literal(name, "", ""),
+            )
+        )
+    return s
+
+
+def _q(store, text):
+    return sorted(tuple(r) for r in sparql_select(store.df(), text).collect())
+
+
+def test_strlen_filter_and_bind(names):
+    got = _q(names, "SELECT ?x WHERE { ?x <urn:names#name> ?n . FILTER(STRLEN(?n) > 9) }")
+    assert got == [("<urn:names#a>",), ("<urn:names#c>",)]
+    got = _q(
+        names,
+        "SELECT ?l WHERE { <urn:names#b> <urn:names#name> ?n . BIND(STRLEN(?n) AS ?l) }",
+    )
+    assert got == [('"8"^^<http://www.w3.org/2001/XMLSchema#integer>',)]
+
+
+def test_strends(names):
+    got = _q(names, 'SELECT ?x WHERE { ?x <urn:names#name> ?n . FILTER(STRENDS(?n, "llc")) }')
+    assert got == [("<urn:names#b>",)]
+
+
+def test_ucase_lcase_compose_with_contains(names):
+    got = _q(
+        names,
+        'SELECT ?x WHERE { ?x <urn:names#name> ?n . FILTER(CONTAINS(UCASE(?n), "BETA")) }',
+    )
+    assert got == [("<urn:names#b>",), ("<urn:names#c>",)]
+    got = _q(
+        names,
+        'SELECT ?x WHERE { ?x <urn:names#name> ?n . FILTER(UCASE(SUBSTR(?n, 1, 1)) = "B") }',
+    )
+    assert got == [("<urn:names#b>",)]
+
+
+def test_substr_and_replace_in_bind(names):
+    got = _q(
+        names,
+        'SELECT ?s WHERE { <urn:names#a> <urn:names#name> ?n . BIND(SUBSTR(?n, 1, 4) AS ?s) }',
+    )
+    assert got == [('"Alph"',)]
+    got = _q(
+        names,
+        'SELECT ?r WHERE { <urn:names#b> <urn:names#name> ?n . '
+        'BIND(REPLACE(?n, "[aeiou]", "_") AS ?r) }',
+    )
+    assert got == [('"b_t_ llc"',)]
+
+
+def test_strbefore_strafter(names):
+    got = _q(
+        names,
+        'SELECT ?b ?a WHERE { <urn:names#c> <urn:names#name> ?n . '
+        'BIND(STRBEFORE(?n, "-") AS ?b) BIND(STRAFTER(?n, "-") AS ?a) }',
+    )
+    assert got == [('"Gamma"', '"Beta Inc"')]
+    # absent needle: both return "" (SPARQL 17.4.3.12/13)
+    got = _q(
+        names,
+        'SELECT ?b ?a WHERE { <urn:names#a> <urn:names#name> ?n . '
+        'BIND(STRBEFORE(?n, "-") AS ?b) BIND(STRAFTER(?n, "-") AS ?a) }',
+    )
+    assert got == [('""', '""')]
+
+
+def test_string_builtin_arg_errors(names):
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(
+            names.df(),
+            "SELECT ?x WHERE { ?x <urn:names#name> ?n . FILTER(SUBSTR(?n) > 1) }",
+        )
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(
+            names.df(),
+            'SELECT ?x WHERE { ?x <urn:names#name> ?n . FILTER(STRENDS(?n, ?n)) }',
+        )
+
+
+# ---------------------------------------------------------------------------
+# DESCRIBE
+# ---------------------------------------------------------------------------
+
+
+def test_describe_constant(store):
+    from ontograph_spark.query import sparql_describe
+
+    out = sparql_describe(store.df(), f"DESCRIBE <{U}#c>")
+    assert out.columns == ["subj", "pred", "obj"]
+    rows = {tuple(r) for r in out.collect()}
+    assert rows == {
+        (f"<{U}#c>", f"<{U}#rel-3>", '"lit1"'),
+        (f"<{U}#c>", f"<{U}#rel-4>", '"lit2"@de'),
+        (f"<{U}#c>", f"<{U}#rel-5>", f'"lit3"^^<{U}#datatype>'),
+    }
+
+
+def test_describe_var_where(store):
+    from ontograph_spark.query import sparql_describe
+
+    out = sparql_describe(
+        store.df(), f"DESCRIBE ?x WHERE {{ <{U}> <{U}#rel-1> ?x }}"
+    )
+    # a/b/c described: a has one triple, b none as subject, c three
+    assert {r["subj"] for r in out.collect()} == {f"<{U}#a>", f"<{U}#c>"}
+    assert out.count() == 4
+
+
+def test_describe_mixed_and_distinct(store):
+    from ontograph_spark.query import sparql_describe
+
+    # <U#a> arrives via the constant AND the WHERE binding — no dupes
+    out = sparql_describe(
+        store.df(),
+        f"DESCRIBE <{U}#a> ?x WHERE {{ <{U}> <{U}#rel-1> ?x }}",
+    )
+    assert out.count() == 4
+
+
+def test_describe_var_without_where_raises(store):
+    from ontograph_spark.query import sparql_describe
+
+    with pytest.raises(SparqlSyntaxError):
+        sparql_describe(store.df(), "DESCRIBE ?x")
+
+
+def test_describe_wrong_entry_point(store):
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(store.df(), f"DESCRIBE <{U}#c>")
