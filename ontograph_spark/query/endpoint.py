@@ -17,7 +17,10 @@ pattern match, size, drop, Turtle export) with no external service:
 Update grammar accepted (exactly what the client generates, mirroring
 blazegraph_store.go:104, 166, 248, 289): ``INSERT DATA { GRAPH <g> {…} }``,
 ``DELETE DATA { GRAPH <g> {…} }``, ``DELETE WHERE { GRAPH <g> { s p o } }``
-(variables = wildcards), ``DROP GRAPH <g>``.
+(variables = wildcards), ``DROP GRAPH <g>`` — plus the SPARQL 1.1
+template forms ``INSERT|DELETE { GRAPH <g> { … } } WHERE { … }``, which
+solve the WHERE group over the whole dataset and commit each graph's
+instantiated batch distributed (merge_df / delete_df).
 
 Scale note: this adapter is the *compatibility* path — per-operation
 driver round-trips, like the reference's own client. Bulk pipelines
@@ -121,12 +124,28 @@ class LocalSparqlEndpoint:
         return out
 
     def query(self, sparql: str) -> dict:
-        """Answer SELECT/ASK, returning the SPARQL-JSON result shape the
-        reference client decodes (blazegraph_endpoint.go:265-284)."""
+        """Answer SELECT/ASK (the SPARQL-JSON result shape the reference
+        client decodes, blazegraph_endpoint.go:265-284) plus
+        CONSTRUCT/DESCRIBE, whose graph results come back as bindings
+        over ``subj``/``pred``/``obj`` (an in-process convenience — a
+        wire endpoint would serialize RDF instead)."""
         kind = _Parser(sparql).parse_query().kind
         world = self._world()
         if kind == "ask":
             return {"boolean": sparql_ask(world, sparql)}
+        if kind in ("construct", "describe"):
+            from ontograph_spark.query import sparql_construct, sparql_describe
+
+            fn = sparql_construct if kind == "construct" else sparql_describe
+            df = fn(world, sparql)
+            bindings = [
+                {var: term_to_binding(val) for var, val in row.asDict().items()}
+                for row in df.collect()
+            ]
+            return {
+                "head": {"vars": df.columns},
+                "results": {"bindings": bindings},
+            }
         if kind != "select":
             raise SparqlSyntaxError(f"endpoint answers SELECT/ASK, not {kind}")
         df = sparql_select(world, sparql)
@@ -141,10 +160,23 @@ class LocalSparqlEndpoint:
         return {"head": {"vars": df.columns}, "results": {"bindings": bindings}}
 
     def update(self, sparql: str) -> None:
-        """Execute an update by dispatching to the graph's store operators."""
+        """Execute an update by dispatching to the graph's store operators.
+        Template updates (``INSERT|DELETE { … } WHERE { … }``) solve the
+        WHERE group over the whole dataset and commit each target graph's
+        instantiated batch distributed (merge_df / delete_df — no
+        driver-side triple lists)."""
         m = _UPDATE_RE.match(sparql)
         if m is None:
-            raise SparqlSyntaxError(f"unsupported update: {sparql[:60]!r}")
+            from ontograph_spark.query.sparql import sparql_update_template
+
+            form, by_graph = sparql_update_template(self._world(), sparql)
+            for uri, batch in by_graph.items():
+                store = self.store_for(uri)
+                if form == "INSERT":
+                    store.merge_df(batch)
+                else:
+                    store.delete_df(batch)
+            return
         form = re.sub(r"\s+", " ", m.group(1).upper())
         rest = m.group(2)
         if form == "DROP GRAPH":

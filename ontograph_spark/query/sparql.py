@@ -71,7 +71,14 @@ tests/test_sparql_query.py alongside the repo's own
   result columns are already numeric and sort directly);
 * ``ASK [WHERE] { … }`` (the reference emits both spellings);
 * ``CONSTRUCT { template } [FROM <g>] WHERE { … }`` (the reference's
-  Turtle-export form) via :func:`sparql_construct`.
+  Turtle-export form) via :func:`sparql_construct`;
+* ``DESCRIBE <iri>… ?var… [WHERE { … }]`` via :func:`sparql_describe` —
+  subject-oriented description (constants push down as a ``subj IN``
+  scan filter, variable targets one distributed semi-join);
+* ``INSERT|DELETE { template } WHERE { … }`` via
+  :func:`sparql_update_template` — solved distributed, committed
+  through ``merge_df`` / ``delete_df`` (the endpoint routes per
+  target graph).
 
 Out of scope (documented, not silently wrong): blank nodes
 (unsupported across the reference too — SURVEY.md §2.1),
@@ -468,7 +475,9 @@ class _Parser:
                 raise SparqlSyntaxError(f"FROM needs an IRI, got {text!r}")
         return out
 
-    def parse_query(self) -> Query:
+    def parse_prologue(self) -> None:
+        """``PREFIX pfx: <iri>`` declarations (shared by queries and
+        template updates)."""
         while self.at_kw("PREFIX"):
             self.next()
             kind, pname = self.next()
@@ -480,6 +489,9 @@ class _Parser:
             # PNAME here is "pfx:" (empty local) — tokenized as PNAME only
             # when a local part follows, so accept both "pfx:" and "pfx:x"
             self.prefixes[pname.split(":", 1)[0]] = iri[1:-1]
+
+    def parse_query(self) -> Query:
+        self.parse_prologue()
         q = self._parse_query_main()
         if self.peek() is not None:
             raise SparqlSyntaxError(f"trailing tokens at {self.peek()}")
@@ -1977,6 +1989,56 @@ def sparql_describe(quads: DataFrame, query: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.select("subj", "pred", "obj").distinct()
+
+
+def sparql_update_template(
+    quads: DataFrame, update: str
+) -> tuple[str, dict[str, DataFrame]]:
+    """Parse and solve a SPARQL 1.1 Update template form —
+    ``[PREFIX …] INSERT|DELETE { template } WHERE { group }`` (§3.1.3,
+    one template + one WHERE; the quad-data forms INSERT DATA / DELETE
+    DATA / DELETE WHERE live on the endpoint). Returns the form and, per
+    target graph, the instantiated quad rows as a distinct DataFrame
+    ``(subj, pred, obj, graph)`` — every template pattern must carry
+    ``GRAPH <uri>`` scope so the caller can route each batch to its
+    owning store. Solving + instantiation are pure DataFrame algebra;
+    committing through ``merge_df`` / ``delete_df`` keeps the whole
+    update distributed (no driver-side triple lists) — the rule-based
+    materialization path a KG pipeline uses for derived edges."""
+    p = _Parser(update)
+    p.parse_prologue()
+    if p.at_kw("INSERT", "DELETE"):
+        form = p.next()[1].upper()
+    else:
+        raise SparqlSyntaxError("expected INSERT or DELETE template update")
+    template = p.parse_group()
+    if not template.is_plain_triples():
+        raise SparqlSyntaxError("update template must be a plain triple block")
+    p.expect_kw("WHERE")
+    group = p.parse_group()
+    if p.peek() is not None:
+        raise SparqlSyntaxError(f"trailing tokens at {p.peek()}")
+    sol = _compile_group(quads, group, [])
+    cols = set(sol.columns)
+    by_graph: dict[str, DataFrame] = {}
+    for pat in template.patterns:
+        if pat.g is None or pat.g[0] != "term":
+            raise SparqlSyntaxError(
+                f"{form} template patterns need GRAPH <uri> scope"
+            )
+        guri = pat.g[1]
+        row = []
+        for (kind, val), name in ((pat.s, "subj"), (pat.p, "pred"), (pat.o, "obj")):
+            if kind == "term":
+                row.append(F.lit(val).alias(name))
+            elif val not in cols:
+                raise SparqlSyntaxError(f"template references unbound ?{val}")
+            else:
+                row.append(F.col(val).alias(name))
+        inst = sol.select(*row).na.drop().withColumn("graph", F.lit(guri))
+        prev = by_graph.get(guri)
+        by_graph[guri] = inst if prev is None else prev.unionByName(inst)
+    return form, {g: df.distinct() for g, df in by_graph.items()}
 
 
 def parse_group_text(text: str) -> Group:

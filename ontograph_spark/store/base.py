@@ -198,6 +198,15 @@ class QuadStoreBase:
         fresh = new_df.join(self._df(), on=QUAD_COLS, how="left_anti")
         self._commit(self._df().unionByName(fresh), op="merge", touched=new_df)
 
+    def delete_df(self, quads: DataFrame) -> None:
+        """Distributed unchecked delete of a quad DataFrame (same
+        columns) — the DataFrame twin of ``delete_triples_unchecked``
+        and the scale path for template updates (DELETE … WHERE …):
+        one anti-join + single commit; rows not present are ignored."""
+        gone = quads.select(*QUAD_COLS).dropDuplicates(QUAD_COLS)
+        kept = self._df().join(gone, on=QUAD_COLS, how="left_anti")
+        self._commit(kept, op="delete", touched=gone)
+
     def delete_triple(self, triple: Triple) -> None:
         """Checked delete (memory_store.go:181-190)."""
         self.delete_triples([triple])

@@ -179,3 +179,60 @@ def test_construct_spo_is_identity_export(client):
     )
     got = {tuple(r) for r in df.collect()}
     assert got == {(t.subject, t.predicate, t.object) for t in TRIPLES}
+
+
+def test_endpoint_answers_construct_and_describe(client, endpoint):
+    U = GRAPH_URI
+    res = endpoint.query(
+        f"CONSTRUCT {{ ?s <urn:out#p> ?o }} WHERE {{ ?s <{U}#rel-1> ?o }}"
+    )
+    assert res["head"]["vars"] == ["subj", "pred", "obj"]
+    assert len(res["results"]["bindings"]) == 3
+    assert all(
+        b["pred"]["value"] == "urn:out#p" for b in res["results"]["bindings"]
+    )
+    res = endpoint.query(f"DESCRIBE <{U}#c>")
+    assert len(res["results"]["bindings"]) == 3
+    assert {b["subj"]["value"] for b in res["results"]["bindings"]} == {f"{U}#c"}
+
+
+def test_template_insert_where(endpoint, client):
+    """INSERT { … } WHERE { … }: derive a triple per rel-1 target,
+    committed distributed into the target graph (merge_df)."""
+    U = GRAPH_URI
+    endpoint.update(
+        f"INSERT {{ GRAPH <{U}> {{ ?o <{U}#derived> <{U}#yes> }} }} "
+        f"WHERE {{ <{U}> <{U}#rel-1> ?o }}"
+    )
+    got = client.get_all_matches("", mk_resource(f"{U}#derived"), "")
+    assert {t.subject for t in got} == {
+        f"<{U}#a>",
+        f"<{U}#b>",
+        f"<{U}#c>",
+    }
+    # idempotent: re-running merges nothing new
+    endpoint.update(
+        f"INSERT {{ GRAPH <{U}> {{ ?o <{U}#derived> <{U}#yes> }} }} "
+        f"WHERE {{ <{U}> <{U}#rel-1> ?o }}"
+    )
+    assert client.size() == 10
+
+
+def test_template_delete_where(endpoint, client):
+    U = GRAPH_URI
+    endpoint.update(
+        f"DELETE {{ GRAPH <{U}> {{ <{U}> <{U}#rel-1> ?o }} }} "
+        f"WHERE {{ <{U}> <{U}#rel-1> ?o . ?o <{U}#rel-2> ?x }}"
+    )
+    # only <U> rel-1 <U#a> had a rel-2 continuation — one row gone
+    assert client.size() == 6
+    left = client.get_all_matches(mk_resource(U), mk_resource(f"{U}#rel-1"), "")
+    assert {t.object for t in left} == {f"<{U}#b>", f"<{U}#c>"}
+
+
+def test_template_update_requires_graph_scope(endpoint, client):
+    U = GRAPH_URI
+    with pytest.raises(SparqlSyntaxError):
+        endpoint.update(
+            f"INSERT {{ ?o <{U}#d> <{U}#y> }} WHERE {{ <{U}> <{U}#rel-1> ?o }}"
+        )
