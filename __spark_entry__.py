@@ -2339,6 +2339,35 @@ GROUP BY rl.obj
 """
 
 
+_SPARQL_DESCRIBE = f"""
+PREFIX t: <{G}#>
+DESCRIBE <{G}#region-0> ?n WHERE {{ GRAPH <{G}> {{
+    ?n t:locatedIn <{G}#region-0> .
+}} }}"""
+
+
+def q_sparql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE with a constant IRI and a WHERE-bound variable: region 0
+    plus every nation located in it, each described by all its triples.
+    The constant pushes down as a ``subj IN`` scan filter; the variable
+    bindings join the quad table with ONE distributed semi-join
+    (query/sparql.py:sparql_describe)."""
+    from ontograph_spark.query import sparql_describe
+
+    return sparql_describe(quads_df(spark, sf_dir), _SPARQL_DESCRIBE)
+
+
+_SQL_SPARQL_DESCRIBE = f"""{_W}
+SELECT DISTINCT q.subj AS subj, q.pred AS pred, q.obj AS obj
+FROM quads q
+WHERE q.subj = '<{G}#region-0>'
+   OR q.subj IN (
+     SELECT subj FROM quads
+     WHERE pred = '<{G}#locatedIn>' AND obj = '<{G}#region-0>'
+   )
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2420,6 +2449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_subquery": q_sparql_subquery,
         "sparql_negpath": q_sparql_negpath,
         "sparql_groupconcat": q_sparql_groupconcat,
+        "sparql_describe": q_sparql_describe,
     }
 
 
@@ -2492,6 +2522,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_subquery": _SQL_SPARQL_SUBQUERY,
         "sparql_negpath": _SQL_SPARQL_NEGPATH,
         "sparql_groupconcat": _SQL_SPARQL_GROUPCONCAT,
+        "sparql_describe": _SQL_SPARQL_DESCRIBE,
         # multimodal: the Arrow mapInPandas stages aren't SQL-expressible,
         # but their input is a deterministic fixed-size synth table, so
         # the rollups are golden VALUES pins (derived in pure Python,

@@ -83,7 +83,7 @@ tests/test_sparql_query.py alongside the repo's own
 Out of scope (documented, not silently wrong): blank nodes
 (unsupported across the reference too — SURVEY.md §2.1),
 ``FROM NAMED``, inverse members in negated property sets (``!^iri``),
-property paths under ``GRAPH ?var`` (closure per graph binding), and
+a GRAPH variable reused as a path endpoint, and
 SPARQL's full operator-precedence value type system. Non-COUNT aggregates are numeric:
 the operand is the literal's value ``try_cast`` to ``decimal(38,6)``
 (exact, order-independent partial aggregation — no float-summation
@@ -1089,13 +1089,20 @@ def _scoped(quads: DataFrame, g: Slot | None, dataset: list[str]) -> DataFrame:
 def _path_edges(quads: DataFrame, node: tuple, g, dataset) -> DataFrame:
     """A path expression → its (src, dst) pair relation. link/inv/seq/alt
     are scans, swaps, equi-joins and unions; plus/star/zeroone go through
-    the iterative closure below."""
+    the iterative closure below. Under ``GRAPH ?var`` the relation
+    carries a ``__g`` column and every combinator keys on it — each
+    graph's closure stays inside that graph (SPARQL: the pattern
+    evaluates per named graph), computed in ONE distributed pass over
+    all graphs rather than a loop over graph bindings."""
     kind = node[0]
+    per = g is not None and g[0] == "var"
+    gcols = [F.col("graph").alias("__g")] if per else []
+    keys = ["__g"] if per else []
     if kind == "link":
         return (
             _scoped(quads, g, dataset)
             .where(F.col("pred") == F.lit(node[1]))
-            .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+            .select(F.col("subj").alias("src"), F.col("obj").alias("dst"), *gcols)
             .distinct()
         )
     if kind == "neg":
@@ -1104,20 +1111,22 @@ def _path_edges(quads: DataFrame, node: tuple, g, dataset) -> DataFrame:
         return (
             _scoped(quads, g, dataset)
             .where(~F.col("pred").isin(node[1]))
-            .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+            .select(F.col("subj").alias("src"), F.col("obj").alias("dst"), *gcols)
             .distinct()
         )
     if kind == "inv":
         inner = _path_edges(quads, node[1], g, dataset)
-        return inner.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        return inner.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), *keys
+        )
     if kind == "seq":
         cur = _path_edges(quads, node[1][0], g, dataset)
         for step in node[1][1:]:
             nxt = _path_edges(quads, step, g, dataset)
             cur = (
                 cur.withColumnRenamed("dst", "__mid")
-                .join(nxt.withColumnRenamed("src", "__mid"), "__mid")
-                .select("src", "dst")
+                .join(nxt.withColumnRenamed("src", "__mid"), ["__mid", *keys])
+                .select("src", "dst", *keys)
                 .distinct()
             )
         return cur
@@ -1133,7 +1142,9 @@ def _path_edges(quads: DataFrame, node: tuple, g, dataset) -> DataFrame:
         pairs = _transitive_closure(base) if kind == "star" else base
         nodes = _graph_nodes(quads, g, dataset)
         return pairs.unionByName(
-            nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+            nodes.select(
+                F.col("node").alias("src"), F.col("node").alias("dst"), *keys
+            )
         ).distinct()
     raise SparqlSyntaxError(f"unsupported path element {node!r}")
 
@@ -1141,11 +1152,13 @@ def _path_edges(quads: DataFrame, node: tuple, g, dataset) -> DataFrame:
 def _graph_nodes(quads: DataFrame, g, dataset) -> DataFrame:
     """All subject/object terms of the scoped graph — the zero-length
     path's domain (SPARQL 1.1 §9.3: a zero-length path matches every
-    graph term with itself)."""
+    graph term with itself). Under ``GRAPH ?var``, per graph (``__g``)."""
     scoped = _scoped(quads, g, dataset)
+    per = g is not None and g[0] == "var"
+    gcols = [F.col("graph").alias("__g")] if per else []
     return (
-        scoped.select(F.col("subj").alias("node"))
-        .unionByName(scoped.select(F.col("obj").alias("node")))
+        scoped.select(F.col("subj").alias("node"), *gcols)
+        .unionByName(scoped.select(F.col("obj").alias("node"), *gcols))
         .distinct()
     )
 
@@ -1156,17 +1169,20 @@ def _transitive_closure(edges: DataFrame) -> DataFrame:
     anti-join against the accumulated pairs, ``localCheckpoint`` per
     round so lineage stays O(1). O(diameter) rounds; the same loop shape
     as functions/graph_algo.py:k_hop_reachability. Driver participation
-    is only the per-round emptiness probe, never row data."""
+    is only the per-round emptiness probe, never row data. A ``__g``
+    column (GRAPH ?var) joins like a node id — all graphs close
+    concurrently, each within itself."""
+    keys = ["__g"] if "__g" in edges.columns else []
     edges = edges.distinct().localCheckpoint()
     result = edges
     frontier = edges
     while True:
         step = (
             frontier.withColumnRenamed("dst", "__mid")
-            .join(edges.withColumnRenamed("src", "__mid"), "__mid")
-            .select("src", "dst")
+            .join(edges.withColumnRenamed("src", "__mid"), ["__mid", *keys])
+            .select("src", "dst", *keys)
             .distinct()
-            .join(result, ["src", "dst"], "left_anti")
+            .join(result, ["src", "dst", *keys], "left_anti")
             .localCheckpoint()
         )
         if step.isEmpty():
@@ -1208,13 +1224,32 @@ def _compile_path_pattern(
     Constant endpoints seed the closure where possible (plus/star with a
     bound subject or object); otherwise the full pair relation is
     filtered/projected like an ordinary scan."""
-    if pp.g is not None and pp.g[0] == "var":
-        raise SparqlSyntaxError(
-            "property paths under GRAPH ?var are not supported"
-        )
     s_kind, s_val = pp.s
     o_kind, o_val = pp.o
     kind = pp.path[0]
+    per = pp.g is not None and pp.g[0] == "var"
+    if per:
+        gname = pp.g[1]
+        if gname in (s_val, o_val):
+            raise SparqlSyntaxError(
+                "GRAPH variable reused as a path endpoint is not supported"
+            )
+        pairs = _path_edges(quads, pp.path, pp.g, dataset)
+        conds: list[Column] = []
+        proj: list[Column] = [F.col("__g").alias(gname)]
+        if s_kind == "term":
+            conds.append(F.col("src") == F.lit(s_val))
+        else:
+            proj.append(F.col("src").alias(s_val))
+        if o_kind == "term":
+            conds.append(F.col("dst") == F.lit(o_val))
+        elif o_kind == "var" and s_kind == "var" and o_val == s_val:
+            conds.append(F.col("dst") == F.col("src"))
+        else:
+            proj.append(F.col("dst").alias(o_val))
+        for c in conds:
+            pairs = pairs.where(c)
+        return pairs.select(*proj)
     # seeded fast path: one constant endpoint on a closure path
     if kind in ("plus", "star") and s_kind == "term" and o_kind == "var":
         reach = _closure_from(

@@ -8,6 +8,16 @@ per ``owl:imports`` target (abbreviated by the URI segment after the last
 ``/``) — rewrites URIs to CURIEs, inserts blank lines between statements
 and prepends the ``@prefix``/``@base`` block.
 
+Byte-exact parity with the reference's pretty mode is ill-defined, not
+just unimplemented: the reference iterates a Go map for the ``@prefix``
+block (memory_store.go:282 ``for abbr, prefix := range prefixMap``), and
+Go randomizes map iteration order — two runs of the reference over the
+same store emit differently-ordered prefix blocks (and rewrite URIs in a
+different order, which can change which prefix wins when one namespace
+is a textual prefix of another). This serializer makes the deterministic
+choice instead: insertion order — empty prefix, rdf/rdfs/owl/xsd, then
+imports in triple order.
+
 The parser handles the subset the serializer emits plus common Turtle
 conveniences (``@prefix``/``@base``, ``a``, ``;``/``,`` continuation) — it
 exists for fixture loading only; bulk ingest at scale goes through the

@@ -233,12 +233,52 @@ def test_path_joins_with_bgp(chain):
     assert rows == {_n("a"), _n("b"), _n("x")}
 
 
-def test_path_under_graph_var_raises(chain):
-    with pytest.raises(SparqlSyntaxError):
-        sparql_select(
-            chain.df(),
-            "SELECT ?x WHERE { GRAPH ?g { ?x <urn:chain#sub>+ ?y } }",
+def test_path_under_graph_var_binds_graph(chain):
+    """GRAPH ?g over a closure path: the closure runs per graph (the
+    edge relation carries the graph column through every join) and ?g
+    binds alongside the endpoints."""
+    q = "SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x <urn:chain#sub>+ ?y } }"
+    rows = {tuple(r) for r in sparql_select(chain.df(), q).collect()}
+    assert len(rows) == 8  # the full a/b/c/d/x closure, all in urn:chain
+    assert {r[0] for r in rows} == {"urn:chain"}
+
+
+def test_path_under_graph_var_scopes_per_graph(spark):
+    """Two graphs with sub-chains a->b (g1) and b->c (g2): the per-graph
+    closure must NOT derive a->c across graphs."""
+    from ontograph_spark.ontology.resources import new_triple
+
+    s1 = MemoryQuadStore(spark, "urn:pg1")
+    s1.add_triple(
+        new_triple(
+            mk_resource("urn:pg#a"),
+            mk_resource("urn:pg#sub"),
+            mk_resource("urn:pg#b"),
         )
+    )
+    s2 = MemoryQuadStore(spark, "urn:pg2")
+    s2.add_triple(
+        new_triple(
+            mk_resource("urn:pg#b"),
+            mk_resource("urn:pg#sub"),
+            mk_resource("urn:pg#c"),
+        )
+    )
+    both = s1.df().unionByName(s2.df())
+    q = "SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x <urn:pg#sub>+ ?y } }"
+    rows = {tuple(r) for r in sparql_select(both, q).collect()}
+    assert rows == {
+        ("urn:pg1", "<urn:pg#a>", "<urn:pg#b>"),
+        ("urn:pg2", "<urn:pg#b>", "<urn:pg#c>"),
+    }
+    # same data WITHOUT graph scoping: the union graph closes across
+    rows = {
+        tuple(r)
+        for r in sparql_select(
+            both, "SELECT ?x ?y WHERE { ?x <urn:pg#sub>+ ?y }"
+        ).collect()
+    }
+    assert ("<urn:pg#a>", "<urn:pg#c>") in rows
 
 
 # ---------------------------------------------------------------------------
