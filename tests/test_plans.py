@@ -361,3 +361,57 @@ def test_sparql_ask_is_limit_probe(pstore):
     g = _Parser(f"ASK {{ ?s <{G}#rel> ?o }}").parse_query().group
     plan = plan_of(_compile_group(pstore.df(), g).limit(1))
     assert "CollectLimit" in plan or "GlobalLimit" in plan
+
+
+def test_sparql_not_exists_is_anti_join(pstore):
+    """FILTER NOT EXISTS compiles to one hash anti-join on the shared
+    variable — no correlated re-execution, no nested loop."""
+    from ontograph_spark.query import sparql_select
+
+    q = f"""
+    SELECT ?x WHERE {{ GRAPH <{G}> {{
+        ?x <{G}#rel> ?y .
+        FILTER NOT EXISTS {{ ?y <{G}#rel> ?z }}
+    }} }}"""
+    plan = plan_of(sparql_select(pstore.df(), q))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sparql_exists_is_semi_join(pstore):
+    from ontograph_spark.query import sparql_select
+
+    q = f"""
+    SELECT ?x WHERE {{ GRAPH <{G}> {{
+        ?x <{G}#rel> ?y .
+        FILTER EXISTS {{ ?y <{G}#rel> ?z }}
+    }} }}"""
+    plan = plan_of(sparql_select(pstore.df(), q))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sparql_negated_set_pushes_not_in_filter(pstore):
+    """!(p|q) is ONE scan with a Not(In(pred, …)) predicate — no join."""
+    from ontograph_spark.query import sparql_select
+
+    q = f"SELECT ?s ?o WHERE {{ ?s !(<{G}#other>|<{G}#other2>) ?o }}"
+    plan = plan_of(sparql_select(pstore.df(), q))
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "Not(In(pred" in pushed
+
+
+def test_sparql_having_single_aggregate(pstore):
+    """HAVING's aggregate rides the SAME hash aggregate as the
+    projection (a hidden column) — one aggregation, then a filter."""
+    from ontograph_spark.query import sparql_select
+
+    q = f"""
+    SELECT ?x (COUNT(?y) AS ?n) WHERE {{ GRAPH <{G}> {{
+        ?x <{G}#rel> ?y .
+    }} }} GROUP BY ?x HAVING (COUNT(?y) >= 1)"""
+    plan = plan_of(sparql_select(pstore.df(), q))
+    # exactly one aggregation pair (partial + final HashAggregate)
+    assert plan.count("HashAggregate") == 2
