@@ -27,8 +27,12 @@ tests/test_sparql_query.py alongside the repo's own
 * ``{ SELECT … }`` subqueries: evaluated bottom-up against the same
   dataset and joined into the enclosing group on their projected
   variables (SPARQL 1.1 §12);
-* ``FROM <iri>`` dataset clauses: patterns outside an explicit ``GRAPH``
-  block are scoped to the named graph(s) (several FROMs = the union);
+* ``FROM <iri>`` / ``FROM NAMED <iri>`` dataset clauses: the FROMs form
+  the default graph (several = the union) scoping patterns outside an
+  explicit ``GRAPH`` block; the FROM NAMEDs restrict which graphs
+  ``GRAPH`` blocks may match, with SPARQL 1.1 §13.2's exactly-as-
+  described rule (FROM-only ⇒ GRAPH matches nothing; FROM NAMED-only ⇒
+  empty default graph);
 * basic graph patterns with ``;`` / ``,`` predicate-object list sugar;
 * **property paths** in the predicate position: ``iri+`` ``iri*``
   ``iri?``, inverse ``^iri``, sequence ``p1/p2``, alternative ``p1|p2``,
@@ -82,7 +86,7 @@ tests/test_sparql_query.py alongside the repo's own
 
 Out of scope (documented, not silently wrong): blank nodes
 (unsupported across the reference too — SURVEY.md §2.1),
-``FROM NAMED``, inverse members in negated property sets (``!^iri``),
+inverse members in negated property sets (``!^iri``),
 a GRAPH variable reused as a path endpoint, and
 SPARQL's full operator-precedence value type system. Non-COUNT aggregates are numeric:
 the operand is the literal's value ``try_cast`` to ``decimal(38,6)``
@@ -457,22 +461,37 @@ class _Parser:
 
     # -- query ---------------------------------------------------------------
 
-    def _parse_dataset(self) -> list[str]:
-        """``FROM <iri>`` dataset clauses (the reference's COUNT/CONSTRUCT
-        forms, blazegraph_store.go:329,398). ``FROM NAMED`` is out of
-        scope and raises."""
-        out: list[str] = []
+    def _parse_dataset(self) -> "_Dataset":
+        """``FROM <iri>`` / ``FROM NAMED <iri>`` dataset clauses (the
+        reference emits plain FROM in its COUNT/CONSTRUCT forms,
+        blazegraph_store.go:329,398). The FROMs form the default graph
+        (union); the FROM NAMEDs restrict which graphs ``GRAPH`` blocks
+        may match (SPARQL 1.1 §13.2: once any dataset clause appears,
+        the dataset is exactly as described — FROM-only means GRAPH
+        matches nothing, FROM NAMED-only means an empty default graph)."""
+        out = _Dataset()
         while self.at_kw("FROM"):
             self.next()
+            is_named = False
             if self.at_kw("NAMED"):
-                raise SparqlSyntaxError("FROM NAMED is not supported")
+                self.next()
+                is_named = True
             kind, text = self.next()
             if kind == "IRI":
-                out.append(text[1:-1])
+                iri = text[1:-1]
             elif kind == "PNAME":
-                out.append(self.expand_pname(text)[1:-1])
+                iri = self.expand_pname(text)[1:-1]
             else:
                 raise SparqlSyntaxError(f"FROM needs an IRI, got {text!r}")
+            if is_named:
+                if out.named is None:
+                    out.named = []
+                out.named.append(iri)
+            else:
+                out.append(iri)
+        if out and out.named is None:
+            # dataset described with FROM only ⇒ it has NO named graphs
+            out.named = []
         return out
 
     def parse_prologue(self) -> None:
@@ -1032,15 +1051,36 @@ class _Parser:
 _POS_COLS = (("s", "subj"), ("p", "pred"), ("o", "obj"))
 
 
+class _Dataset(list):
+    """The FROM default-graph URIs (list behavior unchanged — every
+    ``if dataset:`` / ``dataset[0]`` site still works), with the FROM
+    NAMED graph URIs attached. ``named is None`` means no FROM NAMED
+    clause appeared (GRAPH blocks are unrestricted, the pre-existing
+    behavior); an empty list means FROM-only (GRAPH matches nothing)."""
+
+    named: list[str] | None = None
+
+
 def _graph_cond(g: Slot | None, dataset: list[str]) -> Column | None:
     """The graph-scope predicate for one pattern: an explicit GRAPH term
-    wins; otherwise the query's FROM dataset (if any) scopes it."""
+    wins (restricted to the FROM NAMED set when one was declared);
+    otherwise the query's FROM dataset (if any) scopes it."""
+    named = getattr(dataset, "named", None)
     if g is not None and g[0] == "term":
+        if named is not None and g[1] not in named:
+            return F.lit(False)  # statically outside the named set
         return F.col("graph") == F.lit(g[1])
+    if g is not None and g[0] == "var":
+        if named is not None:
+            return F.col("graph").isin(named) if named else F.lit(False)
+        return None
     if g is None and dataset:
         if len(dataset) == 1:
             return F.col("graph") == F.lit(dataset[0])
         return F.col("graph").isin(dataset)
+    if g is None and named is not None:
+        # dataset described with FROM NAMED only ⇒ empty default graph
+        return F.lit(False)
     return None
 
 
@@ -1870,7 +1910,8 @@ def _compile_select(
     projected variables). Also the evaluation path for ``{ SELECT … }``
     subqueries, which inherit the outer query's FROM dataset when they
     declare none (SPARQL evaluates a subquery against the same dataset)."""
-    dataset = q.dataset or list(outer_dataset)
+    own = q.dataset or getattr(q.dataset, "named", None) is not None
+    dataset = q.dataset if own else list(outer_dataset)
     df, nullable = _compile_group_nn(quads, q.group, dataset)
     out_null: set[str] = set()
     if q.having and not (q.aggs or q.group_by):

@@ -926,3 +926,62 @@ def test_describe_var_without_where_raises(store):
 def test_describe_wrong_entry_point(store):
     with pytest.raises(SparqlSyntaxError):
         sparql_select(store.df(), f"DESCRIBE <{U}#c>")
+
+
+# ---------------------------------------------------------------------------
+# FROM NAMED
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def two_graphs(spark):
+    from ontograph_spark.ontology.resources import new_triple
+
+    def edge(graph, s, o):
+        st = MemoryQuadStore(spark, graph)
+        st.add_triple(
+            new_triple(
+                mk_resource(s), mk_resource("urn:fn#p"), mk_resource(o)
+            )
+        )
+        return st.df()
+
+    return edge("urn:fn1", "urn:fn#a", "urn:fn#b").unionByName(
+        edge("urn:fn2", "urn:fn#c", "urn:fn#d")
+    )
+
+
+def test_from_named_scopes_graph_var(two_graphs):
+    q = "SELECT ?g ?s FROM NAMED <urn:fn1> WHERE { GRAPH ?g { ?s ?p ?o } }"
+    rows = {tuple(r) for r in sparql_select(two_graphs, q).collect()}
+    assert rows == {("urn:fn1", "<urn:fn#a>")}
+
+
+def test_from_named_scopes_graph_term(two_graphs):
+    q = "SELECT ?s FROM NAMED <urn:fn1> WHERE { GRAPH <urn:fn2> { ?s ?p ?o } }"
+    assert sparql_select(two_graphs, q).count() == 0
+    q = "SELECT ?s FROM NAMED <urn:fn1> WHERE { GRAPH <urn:fn1> { ?s ?p ?o } }"
+    assert sparql_select(two_graphs, q).count() == 1
+
+
+def test_from_only_makes_graph_blocks_empty(two_graphs):
+    """SPARQL §13.2: a dataset described with FROM only has NO named
+    graphs — GRAPH matches nothing, the default graph still answers."""
+    q = "SELECT ?g ?s FROM <urn:fn1> WHERE { GRAPH ?g { ?s ?p ?o } }"
+    assert sparql_select(two_graphs, q).count() == 0
+    q = "SELECT ?s FROM <urn:fn1> WHERE { ?s ?p ?o }"
+    assert sparql_select(two_graphs, q).count() == 1
+
+
+def test_from_named_only_empties_default_graph(two_graphs):
+    q = "SELECT ?s FROM NAMED <urn:fn1> WHERE { ?s ?p ?o }"
+    assert sparql_select(two_graphs, q).count() == 0
+
+
+def test_from_and_from_named_combine(two_graphs):
+    q = (
+        "SELECT ?s ?t FROM <urn:fn1> FROM NAMED <urn:fn2> WHERE { "
+        "?s ?p ?o . GRAPH <urn:fn2> { ?t ?q ?u } }"
+    )
+    rows = {tuple(r) for r in sparql_select(two_graphs, q).collect()}
+    assert rows == {("<urn:fn#a>", "<urn:fn#c>")}

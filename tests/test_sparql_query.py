@@ -258,7 +258,7 @@ def test_a_keyword_is_rdf_type(spark):
     "bad",
     [
         "SELECT ?x WHERE { ?x unknown:p ?y }",  # unknown prefix
-        "SELECT ?x FROM NAMED <urn:g> WHERE { ?x ?p ?y }",  # FROM NAMED
+        "SELECT ?x FROM NAMED ?g WHERE { ?x ?p ?y }",  # FROM needs an IRI
         "SELECT ?x WHERE { }",  # empty group
         "SELECT ?x WHERE { ?x ?p ?y } garbage",  # trailing tokens
         "SELECT WHERE { ?x ?p ?y }",  # no projection
