@@ -36,7 +36,8 @@ tests/test_sparql_query.py alongside the repo's own
 * basic graph patterns with ``;`` / ``,`` predicate-object list sugar;
 * **property paths** in the predicate position: ``iri+`` ``iri*``
   ``iri?``, inverse ``^iri``, sequence ``p1/p2``, alternative ``p1|p2``,
-  negated property sets ``!iri`` / ``!(iri|…)`` (forward members only)
+  negated property sets ``!iri`` / ``!^iri`` / ``!(iri|^iri|…)``
+  (forward and inverse members, each negating its own edge direction)
   and parenthesised combinations — compiled to iterative distributed
   closure (see "Scale shape" below);
 * ``GRAPH <uri> { … }`` / ``GRAPH ?g { … }`` scoping;
@@ -86,7 +87,6 @@ tests/test_sparql_query.py alongside the repo's own
 
 Out of scope (documented, not silently wrong): blank nodes
 (unsupported across the reference too — SURVEY.md §2.1),
-inverse members in negated property sets (``!^iri``),
 a GRAPH variable reused as a path endpoint, and
 SPARQL's full operator-precedence value type system. Non-COUNT aggregates are numeric:
 the operand is the literal's value ``try_cast`` to ``decimal(38,6)``
@@ -404,10 +404,13 @@ class _Parser:
             self.next()
             inv = True
         if self.at_op("!"):
-            # negated property set !iri / !(iri|iri|…) — forward
-            # predicates only (an inverse ^iri member raises)
+            # negated property set !iri / !^iri / !(iri|^iri|…): SPARQL
+            # 1.1 §9.1 splits the members — forward members negate the
+            # forward edge relation, inverse members the inverted one,
+            # and the NPS is the union of the two (each side negates
+            # only its own member set)
             self.next()
-            members: list[str] = []
+            members: list[tuple[bool, str]] = []
             if self.at_op("("):
                 self.next()
                 members.append(self._parse_neg_member())
@@ -417,7 +420,14 @@ class _Parser:
                 self.expect_op(")")
             else:
                 members.append(self._parse_neg_member())
-            node = ("neg", members)
+            fwd = [iri for is_inv, iri in members if not is_inv]
+            rev = [iri for is_inv, iri in members if is_inv]
+            if fwd and rev:
+                node = ("alt", [("neg", fwd), ("inv", ("neg", rev))])
+            elif rev:
+                node = ("inv", ("neg", rev))
+            else:
+                node = ("neg", fwd)
         elif self.at_op("("):
             self.next()
             node = self._parse_path()
@@ -445,18 +455,19 @@ class _Parser:
             node = ("zeroone", node)
         return node
 
-    def _parse_neg_member(self) -> str:
+    def _parse_neg_member(self) -> tuple[bool, str]:
+        """One negated-set member → (is_inverse, iri)."""
+        inv = False
         if self.at_op("^"):
-            raise SparqlSyntaxError(
-                "inverse members in a negated property set are not supported"
-            )
+            self.next()
+            inv = True
         kind, text = self.next()
         if kind == "IRI":
-            return text
+            return inv, text
         if kind == "PNAME":
-            return self.expand_pname(text)
+            return inv, self.expand_pname(text)
         if kind == "NAME" and text == "a":
-            return f"<{vocab.RDF_TYPE}>"
+            return inv, f"<{vocab.RDF_TYPE}>"
         raise SparqlSyntaxError(f"expected IRI in negated set, got {text!r}")
 
     # -- query ---------------------------------------------------------------

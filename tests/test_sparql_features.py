@@ -773,11 +773,24 @@ def test_negated_set(chain):
     assert [(r["s"], r["o"]) for r in rows] == [("<urn:chain#lone>", '"lone"')]
 
 
-def test_negated_inverse_member_raises(chain):
-    with pytest.raises(SparqlSyntaxError):
-        sparql_select(
-            chain.df(), "SELECT ?s WHERE { ?s !(^<urn:chain#sub>) ?o }"
-        )
+def test_negated_inverse_member(chain):
+    """!(^sub): pairs (x,y) with y p x for p not in {sub} — only the
+    label edge reversed (SPARQL 1.1 9.1 inverse-member semantics)."""
+    q = "SELECT ?s ?o WHERE { ?s !(^<urn:chain#sub>) ?o }"
+    rows = {tuple(r) for r in sparql_select(chain.df(), q).collect()}
+    assert rows == {('"lone"', "<urn:chain#lone>")}
+
+
+def test_negated_mixed_members(chain):
+    """!(label|^sub): forward edges not labelled (the sub edges) union
+    reversed edges not sub-typed (the reversed label edge)."""
+    q = "SELECT ?s ?o WHERE { ?s !(<urn:chain#label>|^<urn:chain#sub>) ?o }"
+    rows = {tuple(r) for r in sparql_select(chain.df(), q).collect()}
+    assert rows == {
+        (_n("a"), _n("b")), (_n("b"), _n("c")),
+        (_n("c"), _n("d")), (_n("x"), _n("c")),
+        ('"lone"', "<urn:chain#lone>"),
+    }
 
 
 # ---------------------------------------------------------------------------
