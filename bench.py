@@ -192,8 +192,18 @@ def bench_kg_sparql(spark: SparkSession, kg_path: str) -> dict:
         ?f c:imports ?m ;
            c:inRepo ?repo .
     }} GROUP BY ?repo"""
+    # property-path closure over the full KG: the iterative frontier
+    # loop — a pushed-down edge scan then O(diameter) join rounds (the
+    # alias graph is shallow, so this measures closure machinery +
+    # scan cost, not result size). A co-import path (imports/^imports)
+    # is deliberately NOT benched: hot modules have ~27k importers at
+    # this SF, so that relation is ~1e9 pairs by data shape — the same
+    # all-pairs regime the dedup operators guard against.
+    path = """
+    PREFIX owl: <http://www.w3.org/2002/07/owl#>
+    SELECT ?x ?y WHERE { ?x owl:sameAs+ ?y }"""
     out: dict = {}
-    for name, q in (("bgp", bgp), ("group_agg", agg)):
+    for name, q in (("bgp", bgp), ("group_agg", agg), ("path_closure", path)):
         walls, rows = [], 0
         for _ in range(BENCH_REPS):
             t0 = time.time()

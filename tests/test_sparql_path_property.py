@@ -26,10 +26,17 @@ edges_st = st.lists(
     unique=True,
 )
 
-# path expression AST for generation: mirrors the compiler's node kinds
+# path expression AST for generation: mirrors the compiler's node kinds.
+# "nps" is the negated property set !(fwd…|^rev…) — forward members
+# negate the forward edge relation, inverse members the inverted one
+# (SPARQL 1.1 §9.1); at least one member in total.
 link_st = st.sampled_from(PREDS).map(lambda p: ("link", p))
+nps_st = st.tuples(
+    st.lists(st.sampled_from(PREDS), unique=True, max_size=2),
+    st.lists(st.sampled_from(PREDS), unique=True, max_size=2),
+).filter(lambda fr: fr[0] or fr[1]).map(lambda fr: ("nps", fr[0], fr[1]))
 path_st = st.recursive(
-    link_st,
+    st.one_of(link_st, nps_st),
     lambda inner: st.one_of(
         inner.map(lambda n: ("inv", n)),
         st.tuples(inner, inner).map(lambda ab: ("seq", list(ab))),
@@ -46,6 +53,9 @@ def path_to_text(node) -> str:
     kind = node[0]
     if kind == "link":
         return node[1]
+    if kind == "nps":
+        members = list(node[1]) + [f"^{p}" for p in node[2]]
+        return "!(" + "|".join(members) + ")"
     if kind == "inv":
         return f"^({path_to_text(node[1])})"
     if kind == "seq":
@@ -60,6 +70,14 @@ def naive_pairs(triples, node) -> set[tuple[str, str]]:
     kind = node[0]
     if kind == "link":
         return {(s, o) for s, p, o in triples if p == node[1]}
+    if kind == "nps":
+        fwd, rev = set(node[1]), set(node[2])
+        out = set()
+        if node[1]:
+            out |= {(s, o) for s, p, o in triples if p not in fwd}
+        if node[2]:
+            out |= {(o, s) for s, p, o in triples if p not in rev}
+        return out
     if kind == "inv":
         return {(o, s) for s, o in naive_pairs(triples, node[1])}
     if kind == "seq":
