@@ -85,7 +85,9 @@ tests/test_sparql_query.py alongside the repo's own
   through ``merge_df`` / ``delete_df`` (the endpoint routes per
   target graph).
 
-Out of scope (documented, not silently wrong): blank nodes
+Query-side blank nodes (``_:label`` / ``[]``) are anonymous variables
+(SPARQL §4.1.4): same label joins within the query, never projectable.
+Out of scope (documented, not silently wrong): DATA-side blank nodes
 (unsupported across the reference too — SURVEY.md §2.1),
 a GRAPH variable reused as a path endpoint, and
 SPARQL's full operator-precedence value type system. Non-COUNT aggregates are numeric:
@@ -166,6 +168,8 @@ _TOKEN_RE = re.compile(
     | (?P<IRI><[^<>\s]*>)
     | (?P<STRING>"[^"]*"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^(?:<[^<>\s]*>|[A-Za-z_][\w.-]*:[\w.-]+))?)
     | (?P<NUMBER>[+-]?\d+(?:\.\d+)?)
+    | (?P<BLANK>_:[\w.-]*[\w-])
+    | (?P<ANON>\[[ \t]*\])
     | (?P<PNAME>[A-Za-z_][\w-]*:(?:[\w.-]*[\w-])?|:[\w.-]*[\w-])
     | (?P<VAR>\?\w+)
     | (?P<NAME>[A-Za-z_]\w*)
@@ -306,6 +310,7 @@ class _Parser:
         self.toks = _tokenize(text)
         self.i = 0
         self.prefixes = dict(vocab.BASE_PREFIXES)
+        self._anon = 0  # [] anonymous-blank-node counter
 
     # -- token plumbing ----------------------------------------------------
 
@@ -349,6 +354,16 @@ class _Parser:
         kind, text = self.next()
         if kind == "VAR":
             return ("var", text[1:])
+        if kind == "BLANK":
+            # a query-side blank node is an anonymous variable scoped to
+            # the query (SPARQL §4.1.4): same label ⇒ same variable, but
+            # never projectable — the internal __bn_ columns are dropped
+            # before projection (data-side blank nodes stay out of
+            # scope, like the reference — SURVEY.md §2.1)
+            return ("var", f"__bn_{text[2:]}")
+        if kind == "ANON":
+            self._anon += 1
+            return ("var", f"__bn_anon{self._anon}")
         if kind == "IRI":
             return ("term", text)
         if kind == "PNAME":
@@ -1819,6 +1834,20 @@ def _compile_group_nn(
     return df, nullable
 
 
+def _drop_blank_cols(df: DataFrame) -> DataFrame:
+    """Project away query-blank-node columns (``__bn_*``): they join
+    like variables inside their group but are never visible in results
+    (SPARQL §4.1.4 — bag semantics preserved, projection happens before
+    DISTINCT)."""
+    bn = [c for c in df.columns if c.startswith("__bn_")]
+    if not bn:
+        return df
+    keep = [c for c in df.columns if not c.startswith("__bn_")]
+    if not keep:
+        return df.select(F.lit(True).alias("__exists__"))
+    return df.select(*keep)
+
+
 def _order_cols(df: DataFrame, order: list[tuple[str, bool]]) -> list[Column]:
     """Value-aware ORDER BY keys: string term columns sort numerically
     first (literal value ``try_cast`` to double; non-numeric terms group
@@ -1924,6 +1953,7 @@ def _compile_select(
     own = q.dataset or getattr(q.dataset, "named", None) is not None
     dataset = q.dataset if own else list(outer_dataset)
     df, nullable = _compile_group_nn(quads, q.group, dataset)
+    df = _drop_blank_cols(df)
     out_null: set[str] = set()
     if q.having and not (q.aggs or q.group_by):
         raise SparqlSyntaxError("HAVING needs GROUP BY or an aggregate")

@@ -998,3 +998,33 @@ def test_from_and_from_named_combine(two_graphs):
     )
     rows = {tuple(r) for r in sparql_select(two_graphs, q).collect()}
     assert rows == {("<urn:fn#a>", "<urn:fn#c>")}
+
+
+# ---------------------------------------------------------------------------
+# query-side blank nodes
+# ---------------------------------------------------------------------------
+
+
+def test_blank_node_is_anonymous_variable(store):
+    """_:x joins like a variable within the query but never projects."""
+    q = f"SELECT * WHERE {{ <{U}> <{U}#rel-1> _:x . _:x <{U}#rel-2> ?o }}"
+    df = sparql_select(store.df(), q)
+    assert df.columns == ["o"]
+    assert [r[0] for r in df.collect()] == [f"<{U}#b>"]
+
+
+def test_anon_blank_nodes_are_distinct(store):
+    """Two [] tokens are DIFFERENT anonymous variables."""
+    q = f"SELECT ?s WHERE {{ ?s <{U}#rel-1> [] . ?s <{U}#rel-1> [] }}"
+    # joins don't constrain the two objects to be equal: s = <U> (3 objs)
+    assert {r[0] for r in sparql_select(store.df(), q).collect()} == {f"<{U}>"}
+
+
+def test_blank_node_only_pattern_still_answers(store):
+    q = f"SELECT ?s WHERE {{ ?s <{U}#rel-3> _:v }}"
+    assert [r[0] for r in sparql_select(store.df(), q).collect()] == [f"<{U}#c>"]
+
+
+def test_blank_node_count_keeps_bag_semantics(store):
+    q = f"SELECT (COUNT(*) AS ?n) WHERE {{ <{U}> <{U}#rel-1> _:o }}"
+    assert sparql_select(store.df(), q).collect()[0][0] == 3
