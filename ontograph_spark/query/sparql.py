@@ -173,7 +173,7 @@ _TOKEN_RE = re.compile(
     | (?P<PNAME>[A-Za-z_][\w-]*:(?:[\w.-]*[\w-])?|:[\w.-]*[\w-])
     | (?P<VAR>\?\w+)
     | (?P<NAME>[A-Za-z_]\w*)
-    | (?P<OP><=|>=|!=|&&|\|\||[{}().;,=<>!*+/|^?])
+    | (?P<OP><=|>=|!=|&&|\|\||[{}()\[\].;,=<>!*+/|^?])
     """,
     re.X,
 )
@@ -311,6 +311,9 @@ class _Parser:
         self.i = 0
         self.prefixes = dict(vocab.BASE_PREFIXES)
         self._anon = 0  # [] anonymous-blank-node counter
+        #: triples produced by [ pred obj ] property lists, drained into
+        #: the enclosing group after the statement that contained them
+        self._pending: list[tuple[Slot, object, Slot]] = []
 
     # -- token plumbing ----------------------------------------------------
 
@@ -364,6 +367,29 @@ class _Parser:
         if kind == "ANON":
             self._anon += 1
             return ("var", f"__bn_anon{self._anon}")
+        if kind == "OP" and text == "[":
+            # blank-node property list [ pred obj ; … ]: a fresh
+            # anonymous variable whose triples are buffered and drained
+            # into the enclosing group after the current statement
+            self._anon += 1
+            bn: Slot = ("var", f"__bn_anon{self._anon}")
+            while True:
+                pred = self.parse_pred()
+                while True:
+                    obj = self.parse_slot()
+                    self._pending.append((bn, pred, obj))
+                    if self.at_op(","):
+                        self.next()
+                        continue
+                    break
+                if self.at_op(";"):
+                    self.next()
+                    if self.at_op("]"):  # dangling ';'
+                        break
+                    continue
+                break
+            self.expect_op("]")
+            return bn
         if kind == "IRI":
             return ("term", text)
         if kind == "PNAME":
@@ -858,6 +884,10 @@ class _Parser:
 
     def _parse_triples_block(self, g: Group, graph: Slot | None) -> None:
         subj = self.parse_slot()
+        if self._pending and (self.at_op(".") or self.at_op("}")):
+            # standalone blank-node property list: [ pred obj ] .
+            self._drain_pending(g, graph)
+            return
         while True:
             pred = self.parse_pred()
             while True:
@@ -876,6 +906,15 @@ class _Parser:
                     break
                 continue
             break
+        self._drain_pending(g, graph)
+
+    def _drain_pending(self, g: Group, graph: Slot | None) -> None:
+        for s_, p_, o_ in self._pending:
+            if p_[0] == "path":
+                g.paths.append(PathPattern(s_, p_[1], o_, graph))
+            else:
+                g.patterns.append(Pattern(s_, p_, o_, graph))
+        self._pending.clear()
 
     # -- FILTER expressions ------------------------------------------------
 

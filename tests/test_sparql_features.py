@@ -1028,3 +1028,16 @@ def test_blank_node_only_pattern_still_answers(store):
 def test_blank_node_count_keeps_bag_semantics(store):
     q = f"SELECT (COUNT(*) AS ?n) WHERE {{ <{U}> <{U}#rel-1> _:o }}"
     assert sparql_select(store.df(), q).collect()[0][0] == 3
+
+
+def test_blank_property_list_as_object(store):
+    """?s p [ q ?o ]: the bracket is a fresh anonymous node whose
+    triples join into the same group."""
+    q = f"SELECT ?o WHERE {{ <{U}> <{U}#rel-1> [ <{U}#rel-2> ?o ] }}"
+    # only <U#a> (an object of rel-1) has a rel-2 edge → b
+    assert [r[0] for r in sparql_select(store.df(), q).collect()] == [f"<{U}#b>"]
+
+
+def test_blank_property_list_standalone_and_multi(store):
+    q = f"SELECT ?x WHERE {{ [ <{U}#rel-3> ?x ; <{U}#rel-4> ?y ] . }}"
+    assert [r[0] for r in sparql_select(store.df(), q).collect()] == ['"lit1"']
