@@ -21,7 +21,9 @@ tests/test_sparql_query.py alongside the repo's own
   grouped aggregates (mixed ``?var``/aggregate entries; one hash
   aggregate, ``ORDER BY``/``LIMIT`` after it give top-k groups) and
   ``HAVING (constraint)`` filters whose aggregate calls compile to
-  hidden aggregate columns. A projected variable the pattern never
+  hidden aggregate columns. Non-aggregate ``(expr AS ?v)`` SELECT
+  expressions (BIND grammar) project computed columns — outside
+  GROUP BY queries only. A projected variable the pattern never
   binds is a null column (SPARQL unbound), which is how the
   reference's fixed-slot ``SELECT ?s ?p ?o`` strings answer;
 * ``{ SELECT … }`` subqueries: evaluated bottom-up against the same
@@ -288,6 +290,8 @@ class Query:
     order: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     #: HAVING constraints — expression ASTs that may contain ("aggexpr", …)
     having: list = field(default_factory=list)
+    #: non-aggregate SELECT expressions: (alias, bind-expression AST)
+    select_binds: list[tuple[str, object]] = field(default_factory=list)
     limit: int | None = None
     offset: int | None = None
     template: list[Pattern] = field(default_factory=list)  # CONSTRUCT only
@@ -647,9 +651,28 @@ class _Parser:
                     proj.append(name)
                     q.proj_order.append(name)
                 elif t is not None and t[0] == "OP" and t[1] == "(":
-                    entry = self._parse_agg_entry()
-                    q.aggs.append(entry)
-                    q.proj_order.append(entry[0])
+                    # lookahead: (AGG(…) AS ?v) vs (expr AS ?v)
+                    mark = self.i
+                    self.next()
+                    is_agg = self.at_kw(*_AGG_FUNCS) and self._next_is_lparen()
+                    self.i = mark
+                    if is_agg:
+                        entry = self._parse_agg_entry()
+                        q.aggs.append(entry)
+                        q.proj_order.append(entry[0])
+                    else:
+                        # (expr AS ?v): BIND-shaped projection expression
+                        self.next()
+                        expr = self._parse_bind_expr()
+                        self.expect_kw("AS")
+                        kind2, text2 = self.next()
+                        if kind2 != "VAR":
+                            raise SparqlSyntaxError(
+                                "SELECT expression needs (expr AS ?var)"
+                            )
+                        self.expect_op(")")
+                        q.select_binds.append((text2[1:], expr))
+                        q.proj_order.append(text2[1:])
                 else:
                     break
             if not q.proj_order:
@@ -1996,6 +2019,11 @@ def _compile_select(
     out_null: set[str] = set()
     if q.having and not (q.aggs or q.group_by):
         raise SparqlSyntaxError("HAVING needs GROUP BY or an aggregate")
+    if q.select_binds and (q.aggs or q.group_by):
+        raise SparqlSyntaxError(
+            "SELECT expressions next to aggregates/GROUP BY are not "
+            "supported; BIND the expression in the WHERE group instead"
+        )
     if q.aggs or (q.group_by and q.having):
         if not q.proj_order:
             raise SparqlSyntaxError("SELECT * is not valid with GROUP BY")
@@ -2035,12 +2063,19 @@ def _compile_select(
         # a projected variable the pattern never binds is unbound in every
         # solution (SPARQL), i.e. a null column — the reference's
         # constant-slot SELECT ?s ?p ?o strings rely on this
+        for alias, expr in q.select_binds:
+            if alias in df.columns:
+                raise SparqlSyntaxError(f"SELECT expression rebinds ?{alias}")
+            df = df.withColumn(alias, _bind_value(expr, set(df.columns)))
+        bound_aliases = {alias for alias, _ in q.select_binds}
         out_null = {
-            v for v in q.projection if v not in df.columns or v in nullable
+            v
+            for v in q.proj_order
+            if (v not in df.columns or v in nullable) and v not in bound_aliases
         }
         cols = [
             F.col(v) if v in df.columns else F.lit(None).cast("string").alias(v)
-            for v in q.projection
+            for v in q.proj_order
         ]
         df = df.select(*cols)
     elif "__exists__" in df.columns:

@@ -1041,3 +1041,35 @@ def test_blank_property_list_as_object(store):
 def test_blank_property_list_standalone_and_multi(store):
     q = f"SELECT ?x WHERE {{ [ <{U}#rel-3> ?x ; <{U}#rel-4> ?y ] . }}"
     assert [r[0] for r in sparql_select(store.df(), q).collect()] == ['"lit1"']
+
+
+def test_select_expression_projection(names):
+    q = (
+        "SELECT ?x (STRLEN(?n) AS ?l) (UCASE(?n) AS ?u) WHERE "
+        "{ ?x <urn:names#name> ?n } ORDER BY ?x LIMIT 1"
+    )
+    df = sparql_select(names.df(), q)
+    assert df.columns == ["x", "l", "u"]
+    r = df.collect()[0]
+    assert (r["x"], r["l"], r["u"]) == (
+        "<urn:names#a>",
+        '"10"^^<http://www.w3.org/2001/XMLSchema#integer>',
+        '"ALPHA CORP"',
+    )
+
+
+def test_select_expression_with_group_by_raises(names):
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(
+            names.df(),
+            "SELECT (UCASE(?n) AS ?u) (COUNT(?x) AS ?c) WHERE "
+            "{ ?x <urn:names#name> ?n } GROUP BY ?n",
+        )
+
+
+def test_select_expression_rebind_raises(names):
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(
+            names.df(),
+            "SELECT (UCASE(?n) AS ?n) WHERE { ?x <urn:names#name> ?n }",
+        )
