@@ -172,7 +172,7 @@ _TOKEN_RE = re.compile(
     | (?P<NUMBER>[+-]?\d+(?:\.\d+)?)
     | (?P<BLANK>_:[\w.-]*[\w-])
     | (?P<ANON>\[[ \t]*\])
-    | (?P<PNAME>[A-Za-z_][\w-]*:(?:[\w.-]*[\w-])?|:[\w.-]*[\w-])
+    | (?P<PNAME>[A-Za-z_][\w-]*:(?:[\w.-]*[\w-])?|:[\w.-]*[\w-]|:)
     | (?P<VAR>\?\w+)
     | (?P<NAME>[A-Za-z_]\w*)
     | (?P<OP><=|>=|!=|&&|\|\||[{}()\[\].;,=<>!*+/|^?])
@@ -302,6 +302,41 @@ class Query:
 
 
 _AGG_FUNCS = ("COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE")
+
+
+def _apply_graph_scope(g: Group, gslot) -> None:
+    """Push an enclosing ``GRAPH`` scope into a group parsed without it
+    (the ``{ SELECT … }`` subquery body): every pattern without its own
+    explicit GRAPH inherits the slot, recursively through optionals,
+    unions, MINUS, FILTER EXISTS groups, and nested subqueries."""
+    g.patterns = [
+        Pattern(p.s, p.p, p.o, p.g if p.g is not None else gslot)
+        for p in g.patterns
+    ]
+    g.paths = [
+        PathPattern(p.s, p.path, p.o, p.g if p.g is not None else gslot)
+        for p in g.paths
+    ]
+    for child in (*g.optionals, *g.minuses):
+        _apply_graph_scope(child, gslot)
+    for branches in g.unions:
+        for b in branches:
+            _apply_graph_scope(b, gslot)
+    for sub in g.subqueries:
+        _apply_graph_scope(sub.group, gslot)
+    for expr in g.filters:
+        _apply_graph_scope_expr(expr, gslot)
+
+
+def _apply_graph_scope_expr(expr, gslot) -> None:
+    """Recurse into a FILTER expression AST for ("exists", Group)."""
+    if not isinstance(expr, tuple):
+        return
+    if expr[0] == "exists" and isinstance(expr[1], Group):
+        _apply_graph_scope(expr[1], gslot)
+        return
+    for part in expr[1:]:
+        _apply_graph_scope_expr(part, gslot)
 
 
 # --------------------------------------------------------------------------
@@ -825,6 +860,11 @@ class _Parser:
                     raise SparqlSyntaxError(
                         "a subquery as a UNION branch is not supported"
                     )
+                if graph is not None:
+                    # a subquery nested inside GRAPH <g>/?g evaluates
+                    # against that graph: scope every pattern that does
+                    # not carry its own explicit GRAPH
+                    _apply_graph_scope(sub.group, graph)
                 g.subqueries.append(sub)
             elif self.at_op("{"):
                 branches = [self.parse_group(graph=graph)]
@@ -1501,9 +1541,18 @@ def _compile_expr(node, columns: set[str]) -> Column:
         return _compile_cmp(node[1], node[2], node[3], columns)
     if kind == "in":
         lhs, items = node[1], node[2]
-        if any(a[0] == "num" for a in items):
+        kinds = {a[0] for a in items}
+        if len(kinds) > 1:
+            # mixed constant kinds: IN is per-item equality (SPARQL
+            # §17.4.1.9) — one mode for the whole list would make items
+            # of the other kinds unmatchable
+            cond = F.lit(False)
+            for item in items:
+                cond = cond | _compile_cmp("=", lhs, item, columns)
+            return cond
+        if kinds == {"num"}:
             mode = "num"
-        elif any(a[0] == "str" for a in items):
+        elif kinds == {"str"}:
             mode = "value"
         else:
             mode = "term"
@@ -1882,7 +1931,7 @@ def _compile_group_nn(
     if counter[0]:
         df = df.drop(*[f"__ex{i}__" for i in range(counter[0])])
     for minus in g.minuses:
-        mdf, _ = _compile_group_nn(quads, minus, dataset)
+        mdf, mnull = _compile_group_nn(quads, minus, dataset)
         shared = [
             c for c in df.columns if c in set(mdf.columns) and c != "__exists__"
         ]
@@ -1890,10 +1939,49 @@ def _compile_group_nn(
             # SPARQL §8.3: remove solutions with a compatible solution in
             # the MINUS side that shares ≥1 domain variable; disjoint
             # domains remove nothing
-            df = df.join(mdf.select(*shared).distinct(), on=shared, how="left_anti")
+            right = mdf.select(*shared).distinct()
+            if not any(v in nullable or v in mnull for v in shared):
+                df = df.join(right, on=shared, how="left_anti")
+            else:
+                # possibly-unbound shared vars: compatibility = every
+                # var bound on BOTH sides agrees; domain overlap = at
+                # least one var bound on both sides
+                for v in shared:
+                    right = right.withColumnRenamed(v, f"__m_{v}")
+                compat = F.lit(True)
+                overlap = F.lit(False)
+                for v in shared:
+                    compat = compat & (
+                        df[v].isNull()
+                        | F.col(f"__m_{v}").isNull()
+                        | (df[v] == F.col(f"__m_{v}"))
+                    )
+                    overlap = overlap | (
+                        df[v].isNotNull() & F.col(f"__m_{v}").isNotNull()
+                    )
+                df = df.join(right, compat & overlap, "left_anti")
     if "__exists__" in df.columns and len(df.columns) > 1:
         df = df.drop("__exists__")
     return df, nullable
+
+
+def _expr_vars(node) -> set[str]:
+    """All variable names referenced anywhere in an expression AST."""
+    if not isinstance(node, tuple):
+        return set()
+    kind = node[0]
+    if kind == "var" or kind == "bound":
+        return {node[1]}
+    if kind in ("acc", "tfunc"):
+        return {node[2]}
+    out: set[str] = set()
+    for part in node[1:]:
+        if isinstance(part, tuple):
+            out |= _expr_vars(part)
+        elif isinstance(part, list):
+            for p in part:
+                out |= _expr_vars(p)
+    return out
 
 
 def _drop_blank_cols(df: DataFrame) -> DataFrame:
@@ -1965,11 +2053,19 @@ def _agg_column(
         return F.min(F.col(cvar)).alias(alias)
     if func == "COUNT":
         if cvar is None:
-            agg = (
-                F.count_distinct(*[F.col(c) for c in df.columns])
-                if distinct
-                else F.count(F.lit(1))
-            )
+            if distinct:
+                # coalesce unbound slots to a sentinel no encoded term
+                # can collide with — Spark's count(DISTINCT c1, c2, …)
+                # would otherwise DROP any solution containing a null,
+                # but SPARQL counts distinct solutions incl. unbound
+                agg = F.count_distinct(
+                    *[
+                        F.coalesce(F.col(c), F.lit("\x00unbound"))
+                        for c in df.columns
+                    ]
+                )
+            else:
+                agg = F.count(F.lit(1))
         else:
             if cvar not in df.columns:
                 raise SparqlSyntaxError(f"COUNT of unbound ?{cvar}")
@@ -2013,7 +2109,14 @@ def _compile_select(
     subqueries, which inherit the outer query's FROM dataset when they
     declare none (SPARQL evaluates a subquery against the same dataset)."""
     own = q.dataset or getattr(q.dataset, "named", None) is not None
-    dataset = q.dataset if own else list(outer_dataset)
+    if own:
+        dataset = q.dataset
+    else:
+        # preserve the outer _Dataset's FROM NAMED restriction — a plain
+        # list() copy would silently lift §13.2 GRAPH scoping in
+        # subqueries
+        dataset = _Dataset(outer_dataset)
+        dataset.named = getattr(outer_dataset, "named", None)
     df, nullable = _compile_group_nn(quads, q.group, dataset)
     df = _drop_blank_cols(df)
     out_null: set[str] = set()
@@ -2072,6 +2175,13 @@ def _compile_select(
             v
             for v in q.proj_order
             if (v not in df.columns or v in nullable) and v not in bound_aliases
+        }
+        # an expression over a possibly-unbound variable is itself
+        # possibly null — downstream joins need the compat treatment
+        out_null |= {
+            alias
+            for alias, expr in q.select_binds
+            if _expr_vars(expr) & nullable
         }
         cols = [
             F.col(v) if v in df.columns else F.lit(None).cast("string").alias(v)

@@ -263,16 +263,9 @@ class ParquetQuadStore(QuadStoreBase):
             .parquet(path)
         )
 
-    def _drop_backend(self) -> None:
-        """DROP GRAPH: rewrite without this graph's partition
-        (blazegraph_store.go:289-324 semantics). The touched hint is this
-        graph's rows, so every OTHER graph's partitions are linked, not
-        rewritten."""
-        self._commit(
-            self._df().where(F.col("graph") != self._uri),
-            op="drop",
-            touched=self.df(),
-        )
+    # _drop_backend: inherited — the base implementation already passes
+    # this graph's rows as the touched hint, so every OTHER graph's
+    # partitions are hard-linked, not rewritten, by the scoped commit.
 
     # -- maintenance ------------------------------------------------------
 

@@ -1073,3 +1073,110 @@ def test_select_expression_rebind_raises(names):
             names.df(),
             "SELECT (UCASE(?n) AS ?n) WHERE { ?x <urn:names#name> ?n }",
         )
+
+
+# ---------------------------------------------------------------------------
+# review regressions: scoping, MINUS compat, IN, COUNT(DISTINCT *)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def scoped(spark):
+    """s1 typed in g1, s2 typed in g2; s1 has p->v1 in g1; a q->v1 in g1."""
+    from ontograph_spark.ontology.resources import new_triple
+
+    def store(graph, triples):
+        s = MemoryQuadStore(spark, graph)
+        s.add_triples(
+            [
+                new_triple(mk_resource(a), mk_resource(b), mk_resource(c))
+                for a, b, c in triples
+            ]
+        )
+        return s.df()
+
+    g1 = store(
+        "urn:sg1",
+        [
+            ("urn:sc#s1", "urn:sc#type", "urn:sc#T"),
+            ("urn:sc#s1", "urn:sc#p", "urn:sc#v1"),
+            ("urn:sc#a", "urn:sc#q", "urn:sc#v1"),
+        ],
+    )
+    g2 = store("urn:sg2", [("urn:sc#s2", "urn:sc#type", "urn:sc#T")])
+    return g1.unionByName(g2)
+
+
+def test_subquery_inherits_graph_scope(scoped):
+    q = """SELECT ?s WHERE { GRAPH <urn:sg1> {
+        { SELECT ?s WHERE { ?s <urn:sc#type> <urn:sc#T> } }
+    } }"""
+    assert [r[0] for r in sparql_select(scoped, q).collect()] == ["<urn:sc#s1>"]
+
+
+def test_subquery_inherits_from_named_restriction(scoped):
+    # FROM-only dataset: GRAPH inside the subquery must match nothing
+    q = """SELECT ?s FROM <urn:sg1> WHERE {
+        { SELECT ?s WHERE { GRAPH ?g { ?s <urn:sc#type> <urn:sc#T> } } }
+    }"""
+    assert sparql_select(scoped, q).count() == 0
+    # FROM NAMED whitelist flows into the subquery too
+    q2 = """SELECT ?s FROM NAMED <urn:sg2> WHERE {
+        { SELECT ?s WHERE { GRAPH ?g { ?s <urn:sc#type> <urn:sc#T> } } }
+    }"""
+    assert [r[0] for r in sparql_select(scoped, q2).collect()] == ["<urn:sc#s2>"]
+
+
+def test_minus_removes_unbound_compatible_solutions(scoped):
+    """SPARQL §8.3: {s:s1, v:unbound} is compatible with a minus
+    solution binding only ?s=s1 (trivially) — and with ?v bound on the
+    minus side, an unbound outer ?v is still compatible ⇒ removed."""
+    q = """SELECT ?s ?v WHERE { GRAPH <urn:sg1> {
+        <urn:sc#s1> <urn:sc#type> ?t .
+        OPTIONAL { <urn:sc#missing> <urn:sc#p> ?v }
+        BIND(<urn:sc#s1> AS ?s)
+        MINUS { ?s <urn:sc#p> ?v }
+    } }"""
+    # outer solution: (s=s1, v=unbound); minus side binds (s=s1, v=v1);
+    # compat (v unbound) + overlap (s bound both) ⇒ removed
+    assert sparql_select(scoped, q).count() == 0
+
+
+def test_filter_in_mixed_kinds(scoped):
+    q = """SELECT ?o WHERE { GRAPH <urn:sg1> {
+        <urn:sc#s1> <urn:sc#p> ?o .
+        FILTER(?o IN (<urn:sc#v1>, "x"))
+    } }"""
+    assert [r[0] for r in sparql_select(scoped, q).collect()] == ["<urn:sc#v1>"]
+
+
+def test_count_distinct_star_counts_unbound_solutions(scoped):
+    q = """SELECT (COUNT(DISTINCT *) AS ?n) WHERE { GRAPH <urn:sg1> {
+        ?s <urn:sc#type> <urn:sc#T> .
+        OPTIONAL { ?s <urn:sc#missing> ?v }
+    } }"""
+    # one distinct solution (s1, unbound) — must count 1, not 0
+    assert sparql_select(scoped, q).collect()[0][0] == 1
+
+
+def test_empty_prefix_declaration(scoped):
+    q = """PREFIX : <urn:sc#> SELECT ?s WHERE { GRAPH <urn:sg1> {
+        ?s :type :T
+    } }"""
+    assert [r[0] for r in sparql_select(scoped, q).collect()] == ["<urn:sc#s1>"]
+
+
+def test_select_expr_alias_nullability_flows_to_joins(scoped):
+    """A subquery's (?v AS ?w) over an OPTIONAL var is possibly null;
+    the enclosing join on ?w must use unbound-compatibility."""
+    q = """SELECT ?s ?x ?w WHERE { GRAPH <urn:sg1> {
+        { SELECT ?s (?v AS ?w) WHERE {
+            ?s <urn:sc#type> <urn:sc#T> .
+            OPTIONAL { ?s <urn:sc#p2> ?v }
+        } }
+        ?x <urn:sc#q> ?w .
+    } }"""
+    # subquery: (s1, unbound). unbound ?w is compatible with ?w=v1 from
+    # the ?x pattern ⇒ one merged solution taking the bound value
+    rows = [tuple(r) for r in sparql_select(scoped, q).collect()]
+    assert rows == [("<urn:sc#s1>", "<urn:sc#a>", "<urn:sc#v1>")]
