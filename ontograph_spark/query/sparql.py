@@ -1,4 +1,5 @@
-"""SPARQL SELECT/ASK/CONSTRUCT answering compiled to DataFrame algebra.
+"""SPARQL SELECT/ASK/CONSTRUCT/DESCRIBE answering — and INSERT/DELETE
+template updates — compiled to DataFrame algebra.
 
 The reference can only *issue* SPARQL — every Blazegraph operator builds a
 query string and POSTs it to an endpoint that does the actual matching
@@ -59,15 +60,19 @@ tests/test_sparql_query.py alongside the repo's own
   preserving left join (all-bound shared vars only — the unbound
   nested case raises instead of answering wrong);
 * ``BIND(expr AS ?v)`` where ``expr`` is a variable, a constant, an
-  accessor (``STR``/``LANG``/``DATATYPE``), ``CONCAT(…)`` of string
+  accessor (``STR``/``LANG``/``DATATYPE``), a string builtin
+  (``UCASE``/``LCASE``/``SUBSTR``/``REPLACE``/``STRBEFORE``/
+  ``STRAFTER``/``STRLEN``), ``CONCAT(…)`` of string
   operands, ``COALESCE(expr, …)`` or ``IF(boolean, expr, expr)`` —
   applied at the end of its group, before that group's FILTERs (a
   documented simplification of SPARQL's position-sensitive BIND; every
   reference-shaped and test query satisfies it);
 * ``OPTIONAL { … }`` (nested OPTIONALs use SPARQL's
   unbound-is-compatible left join — see below), ``{ … } UNION { … }``,
-  and ``MINUS { … }`` (an anti-join on shared variables; a MINUS group
-  sharing no variable removes nothing, per SPARQL §8.3);
+  and ``MINUS { … }`` (SPARQL §8.3: an anti-join on shared variables —
+  null-tolerant compatibility plus the domain-overlap requirement when
+  a shared variable can be unbound; a MINUS group sharing no variable
+  removes nothing);
 * ``VALUES ?v { … }`` / ``VALUES (?a ?b) { (… …) … }`` inline data,
   with ``UNDEF`` as an unbound cell — compiled to a (broadcastable)
   literal DataFrame joined into the group;
