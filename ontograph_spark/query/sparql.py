@@ -329,8 +329,28 @@ def _apply_graph_scope(g: Group, gslot) -> None:
             _apply_graph_scope(b, gslot)
     for sub in g.subqueries:
         _apply_graph_scope(sub.group, gslot)
+        if gslot[0] == "var":
+            _extend_subquery_projection(sub, gslot[1])
     for expr in g.filters:
         _apply_graph_scope_expr(expr, gslot)
+
+
+def _extend_subquery_projection(q: "Query", gname: str) -> None:
+    """Under ``GRAPH ?g`` a subquery evaluates per active graph
+    (SPARQL §13.3): surface the graph variable through the subquery's
+    projection — and its GROUP BY, making aggregation per-graph — so
+    the outer ?g binds and correlates. LIMIT/OFFSET would have to apply
+    per graph, which this rewrite cannot express ⇒ loud failure."""
+    if q.limit is not None or q.offset is not None:
+        raise SparqlSyntaxError(
+            "a LIMIT/OFFSET subquery under GRAPH ?var is not supported"
+        )
+    if q.projection is None or gname in q.proj_order:
+        return  # SELECT * keeps the column; explicit ?g already projects
+    if q.aggs or q.group_by:
+        q.group_by.append(gname)
+    q.projection.append(gname)
+    q.proj_order.append(gname)
 
 
 def _apply_graph_scope_expr(expr, gslot) -> None:
@@ -832,7 +852,12 @@ class _Parser:
                 self._merge(g, inner)
             elif self.at_kw("FILTER"):
                 self.next()
-                g.filters.append(self._parse_expr())
+                expr = self._parse_expr()
+                if graph is not None:
+                    # a FILTER [NOT] EXISTS group inside GRAPH <g>/?g
+                    # evaluates against the active graph (SPARQL §13.3)
+                    _apply_graph_scope_expr(expr, graph)
+                g.filters.append(expr)
             elif self.at_kw("BIND"):
                 self.next()
                 self.expect_op("(")
@@ -870,6 +895,8 @@ class _Parser:
                     # against that graph: scope every pattern that does
                     # not carry its own explicit GRAPH
                     _apply_graph_scope(sub.group, graph)
+                    if graph[0] == "var":
+                        _extend_subquery_projection(sub, graph[1])
                 g.subqueries.append(sub)
             elif self.at_op("{"):
                 branches = [self.parse_group(graph=graph)]
@@ -1778,13 +1805,19 @@ def _exists_join(
     how: str,
     nullable: set[str],
     inull: set[str],
+    require_overlap: bool = False,
 ) -> DataFrame:
     """FILTER EXISTS / NOT EXISTS as a semi / anti join on the shared
-    variables. Semi/anti joins never change left cardinality, so SPARQL's
-    substitution semantics for a possibly-unbound shared variable is just
-    a null-tolerant join condition (an unbound outer var is a free inner
-    var ⇒ matches anything). No shared variables ⇒ the test is global
-    non-emptiness: a one-row ``limit(1)`` probe joined on TRUE."""
+    variables — and, with ``require_overlap``, MINUS (§8.3). Semi/anti
+    joins never change left cardinality, so SPARQL's substitution
+    semantics for a possibly-unbound shared variable is just a
+    null-tolerant join condition (an unbound outer var is a free inner
+    var ⇒ matches anything). MINUS additionally requires domain overlap:
+    at least one shared variable bound on BOTH sides (with every shared
+    var bound on both, overlap holds trivially — the equi fast path is
+    unchanged). No shared variables ⇒ EXISTS tests global non-emptiness
+    via a one-row ``limit(1)`` probe; MINUS callers skip the join
+    entirely (disjoint domains remove nothing)."""
     shared = [
         c for c in df.columns if c in set(inner.columns) and c != "__exists__"
     ]
@@ -1803,6 +1836,11 @@ def _exists_join(
             | df[v].isNull()
             | F.col(f"__r_{v}").isNull()
         )
+    if require_overlap:
+        overlap = F.lit(False)
+        for v in shared:
+            overlap = overlap | (df[v].isNotNull() & F.col(f"__r_{v}").isNotNull())
+        cond = cond & overlap
     return df.join(right, cond, how)
 
 
@@ -1943,28 +1981,11 @@ def _compile_group_nn(
         if shared:
             # SPARQL §8.3: remove solutions with a compatible solution in
             # the MINUS side that shares ≥1 domain variable; disjoint
-            # domains remove nothing
-            right = mdf.select(*shared).distinct()
-            if not any(v in nullable or v in mnull for v in shared):
-                df = df.join(right, on=shared, how="left_anti")
-            else:
-                # possibly-unbound shared vars: compatibility = every
-                # var bound on BOTH sides agrees; domain overlap = at
-                # least one var bound on both sides
-                for v in shared:
-                    right = right.withColumnRenamed(v, f"__m_{v}")
-                compat = F.lit(True)
-                overlap = F.lit(False)
-                for v in shared:
-                    compat = compat & (
-                        df[v].isNull()
-                        | F.col(f"__m_{v}").isNull()
-                        | (df[v] == F.col(f"__m_{v}"))
-                    )
-                    overlap = overlap | (
-                        df[v].isNotNull() & F.col(f"__m_{v}").isNotNull()
-                    )
-                df = df.join(right, compat & overlap, "left_anti")
+            # domains remove nothing (hence the shared guard — the
+            # EXISTS global-probe fallback must not apply here)
+            df = _exists_join(
+                df, mdf, "left_anti", nullable, mnull, require_overlap=True
+            )
     if "__exists__" in df.columns and len(df.columns) > 1:
         df = df.drop("__exists__")
     return df, nullable

@@ -1180,3 +1180,51 @@ def test_select_expr_alias_nullability_flows_to_joins(scoped):
     # the ?x pattern ⇒ one merged solution taking the bound value
     rows = [tuple(r) for r in sparql_select(scoped, q).collect()]
     assert rows == [("<urn:sc#s1>", "<urn:sc#a>", "<urn:sc#v1>")]
+
+
+def test_graph_var_subquery_binds_graph(scoped):
+    """GRAPH ?g { { SELECT ?s … } }: the subquery evaluates per active
+    graph and ?g binds (SPARQL §13.3) — no cross-graph mixing."""
+    q = """SELECT ?g ?s WHERE { GRAPH ?g {
+        { SELECT ?s WHERE { ?s <urn:sc#type> <urn:sc#T> } }
+    } }"""
+    rows = {tuple(r) for r in sparql_select(scoped, q).collect()}
+    assert rows == {
+        ("urn:sg1", "<urn:sc#s1>"),
+        ("urn:sg2", "<urn:sc#s2>"),
+    }
+
+
+def test_graph_var_agg_subquery_groups_per_graph(scoped):
+    q = """SELECT ?g ?n WHERE { GRAPH ?g {
+        { SELECT (COUNT(?s) AS ?n) WHERE { ?s <urn:sc#type> <urn:sc#T> } }
+    } }"""
+    rows = {tuple(r) for r in sparql_select(scoped, q).collect()}
+    assert rows == {("urn:sg1", 1), ("urn:sg2", 1)}
+
+
+def test_graph_var_limit_subquery_raises(scoped):
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(
+            scoped,
+            """SELECT ?g ?s WHERE { GRAPH ?g {
+                { SELECT ?s WHERE { ?s ?p ?o } LIMIT 1 }
+            } }""",
+        )
+
+
+def test_exists_inside_graph_block_is_graph_scoped(scoped):
+    """FILTER EXISTS inside GRAPH <g> evaluates against that graph only
+    (SPARQL §13.3) — a match in another graph must not count."""
+    # s2's type triple lives in g2 only: EXISTS scoped to g1 finds nothing
+    q = """SELECT ?s WHERE { GRAPH <urn:sg1> {
+        ?s <urn:sc#type> <urn:sc#T> .
+        FILTER EXISTS { <urn:sc#s2> <urn:sc#type> ?t }
+    } }"""
+    assert sparql_select(scoped, q).count() == 0
+    # and scoped to g2 it finds the triple
+    q2 = """SELECT ?s WHERE { GRAPH <urn:sg2> {
+        ?s <urn:sc#type> <urn:sc#T> .
+        FILTER EXISTS { <urn:sc#s2> <urn:sc#type> ?t }
+    } }"""
+    assert sparql_select(scoped, q2).count() == 1
