@@ -1803,6 +1803,81 @@ SELECT node, min(r) AS component FROM reach GROUP BY node
 """
 
 
+#: RDFS/OWL schema for the entailment contract entry: a subclass chain
+#: over the derived KG's classes, a subproperty chain that funnels both
+#: link predicates into one transitive `within`, an inverse, and
+#: domain/range typing — exercising every rule family of
+#: ontology/inference.py (rdfs2/3/5/7/9/11 + owl inverseOf/Transitive).
+_RDFS_SCHEMA = [
+    (f"<{G}#Customer>", "subClassOf", f"<{G}#Party>"),
+    (f"<{G}#Supplier>", "subClassOf", f"<{G}#Party>"),
+    (f"<{G}#Party>", "subClassOf", f"<{G}#Agent>"),
+    (f"<{G}#inNation>", "subPropertyOf", f"<{G}#basedIn>"),
+    (f"<{G}#basedIn>", "subPropertyOf", f"<{G}#within>"),
+    (f"<{G}#locatedIn>", "subPropertyOf", f"<{G}#within>"),
+    (f"<{G}#within>", "type_transitive", ""),
+    (f"<{G}#within>", "range", f"<{G}#Place>"),
+    (f"<{G}#basedIn>", "domain", f"<{G}#Party>"),
+    (f"<{G}#locatedIn>", "inverseOf", f"<{G}#contains>"),
+]
+
+
+def _rdfs_schema_triples() -> list[tuple[str, str, str]]:
+    from ontograph_spark.ontology import inference as inf
+
+    kinds = {
+        "subClassOf": inf._SUB_CLASS,
+        "subPropertyOf": inf._SUB_PROP,
+        "domain": inf._DOMAIN,
+        "range": inf._RANGE,
+        "inverseOf": inf._INVERSE,
+    }
+    out = []
+    for s, kind, o in _RDFS_SCHEMA:
+        if kind == "type_transitive":
+            out.append((s, RDF_TYPE, inf._TRANSITIVE))
+        else:
+            out.append((s, kinds[kind], o))
+    return out
+
+
+def q_kg_rdfs_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS/OWL entailment over the derived KG
+    (ontology/inference.py:rdfs_closure): materializes what the
+    schema above entails — `basedIn`/`within` edges inherited from
+    `inNation`/`locatedIn` (rdfs7 over the transitive subPropertyOf
+    closure), the customer→region hop closed by `within`'s
+    owl:TransitiveProperty, `contains` flips from the inverse,
+    Party/Agent types from the class chain (rdfs9) and Place types
+    from `within`'s range (rdfs3). Returns the inferred delta only.
+    Scale shape: every rule is a broadcast join of the vocabulary-sized
+    schema against the data scan; the transitive step is the one
+    data-sized self-join; one distinct at the end."""
+    from ontograph_spark.ontology.inference import rdfs_inferred
+
+    q = quads_df(spark, sf_dir)
+    schema = spark.createDataFrame(
+        [(s, p, o, G) for s, p, o in _rdfs_schema_triples()],
+        "subj string, pred string, obj string, graph string",
+    )
+    return rdfs_inferred(q.unionByName(schema)).select("subj", "pred", "obj")
+
+
+def _kg_rdfs_closure_sql() -> str:
+    from ontograph_spark.ontology.inference import rdfs_closure_sql_cte
+
+    values = " UNION ALL ".join(
+        f"SELECT '{s}' AS subj, '{p}' AS pred, '{o}' AS obj"
+        for s, p, o in _rdfs_schema_triples()
+    )
+    cte = rdfs_closure_sql_cte(schema_values_sql=values)
+    return (
+        f"{_W},\n{cte}\n"
+        "SELECT subj, pred, obj FROM closure_final\n"
+        "EXCEPT SELECT subj, pred, obj FROM t0"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SPARQL answering (ontograph_spark/query/sparql.py) — the reference can
 # only SEND SPARQL to Blazegraph (blazegraph_store.go:40-53); these entries
@@ -2422,6 +2497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": q_kg_pagerank,
         "kg_reachability": q_kg_reachability,
         "kg_components": q_kg_components,
+        "kg_rdfs_closure": q_kg_rdfs_closure,
         "docs_rollup": q_docs_rollup,
         "events_moving_avg": q_events_moving_avg,
         "emb_lsh_topk": q_emb_lsh_topk,
@@ -2497,6 +2573,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _kg_pagerank_sql(),
         "kg_reachability": _kg_reachability_sql(),
         "kg_components": _SQL_KG_COMPONENTS,
+        "kg_rdfs_closure": _kg_rdfs_closure_sql(),
         "docs_rollup": _SQL_DOCS_ROLLUP,
         "events_moving_avg": _SQL_EVENTS_MOVING_AVG,
         "emb_lsh_topk": _lsh_topk_sql(),

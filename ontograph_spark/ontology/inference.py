@@ -1,0 +1,358 @@
+"""RDFS/OWL forward-chaining entailment over the quad table.
+
+The reference stores ontologies but leaves entailment to the endpoint
+(Blazegraph ships RDFS+ inference; the Go client never materializes
+closures itself — blazegraph_store.go only issues pattern queries). A
+Spark deployment has no reasoner underneath, so this module IS the
+reasoner: it materializes the RDFS closure (plus the cheap OWL property
+rules the reference's own ontology surface exposes — inverseOf,
+SymmetricProperty, TransitiveProperty, ontology/resources.py) as
+distributed DataFrame algebra, the standard "forward chaining as
+iterated hash joins" construction.
+
+Rule set (ρdf fragment of RDFS + OWL property rules):
+
+* ``rdfs5``  subPropertyOf transitivity      (schema closure)
+* ``rdfs7``  property inheritance            (data × sp-closure join)
+* ``owl inverseOf``  (a p b) ⇒ (b q a), both directions
+* ``owl SymmetricProperty``  (a p b) ⇒ (b p a)
+* ``owl TransitiveProperty`` per-predicate edge closure
+* ``rdfs2/3`` domain/range typing            (data × schema join)
+* ``rdfs11`` subClassOf transitivity         (schema closure)
+* ``rdfs9``  type inheritance                (types × sc-closure join)
+
+Deviations (documented, deterministic): the range rule types only
+*resource* objects (typing a literal node is formally allowed by RDFS
+but produces literal-subject triples no store here accepts — the
+reference rejects them too, triple.go's term model); the rdf:type
+predicate itself does not participate in subPropertyOf inheritance
+(standard ρdf restriction); axiomatic triples (rdf:type rdf:Property
+etc.) are not emitted.
+
+Evaluation order is stratified: the edge-level rules (rdfs7, inverseOf,
+symmetric, transitive step) run to a **joint fixpoint** first — one
+loop whose round applies all four rules to the current edge set, so
+their interactions (the flip of an inherited edge, the closure of a
+flipped edge, …) are fully chased — then domain/range typing, then
+class inheritance. Because domain/range emit only ``rdf:type`` triples
+and rdf:type is excluded from property inheritance, the later strata
+never feed stratum 1, so the stratified pass computes the exact
+fixpoint.
+
+100 TB shape: schema relations (subPropertyOf / subClassOf / domain /
+range / inverseOf and the property-characteristic type triples) are
+vocabulary-sized — thousands of rows against billions of data triples —
+so every rule is one **broadcast** hash join against the data scan, no
+shuffle of the big side; the two schema transitive closures iterate on
+the tiny side only. The one data-sized iteration is the OWL transitive
+property closure, the same frontier expansion as
+functions/graph_algo.py:k_hop_reachability (hash equi-join + anti-join
+per round, ``localCheckpoint`` truncating lineage, O(longest chain)
+rounds over only the transitive predicates' edges). The final closure
+is a union of per-rule plans deduplicated by one distinct — a single
+shuffle at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ontograph_spark import vocab
+
+_TYPE = f"<{vocab.RDF_TYPE}>"
+_SUB_PROP = f"<{vocab.RDFS_SUB_PROPERTY_OF}>"
+_SUB_CLASS = f"<{vocab.RDFS_SUB_CLASS_OF}>"
+_DOMAIN = f"<{vocab.RDFS_DOMAIN}>"
+_RANGE = f"<{vocab.RDFS_RANGE}>"
+_INVERSE = f"<{vocab.OWL_INVERSE_OF}>"
+_SYMMETRIC = f"<{vocab.OWL_SYMMETRIC_PROPERTY}>"
+_TRANSITIVE = f"<{vocab.OWL_TRANSITIVE_PROPERTY}>"
+
+_SCHEMA_PREDS = (_SUB_PROP, _SUB_CLASS, _DOMAIN, _RANGE, _INVERSE)
+
+
+def transitive_closure(pairs: DataFrame, *, max_rounds: int = 20) -> DataFrame:
+    """Irreflexive transitive closure of a ``(sub, sup)`` relation by
+    frontier expansion: each round joins the frontier's ``sup`` end one
+    step further and anti-joins the known set, so hub fan-in never
+    re-expands. Intended for vocabulary-sized schema relations (the
+    per-round emptiness probe is a driver action, same as every
+    iterative fixpoint here)."""
+    known = pairs.select("sub", "sup").distinct().localCheckpoint(eager=True)
+    frontier = known
+    step = known.select(
+        F.col("sub").alias("_s"), F.col("sup").alias("_o")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        nxt = (
+            frontier.join(step, frontier["sup"] == step["_s"])
+            .select("sub", F.col("_o").alias("sup"))
+            .where(F.col("sub") != F.col("sup"))  # drop cycles' self-pairs
+            .distinct()
+            .join(known, ["sub", "sup"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            break
+        known = known.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return known
+
+
+def _edge_rules_fixpoint(
+    data: DataFrame,
+    *,
+    sp: DataFrame,
+    inv_both: DataFrame,
+    sym: DataFrame,
+    trans_preds: DataFrame,
+    max_rounds: int,
+) -> DataFrame:
+    """Joint fixpoint of the edge-level rules over ``(subj, pred, obj)``:
+    each round derives inverse flips, symmetric mirrors, subPropertyOf
+    inheritance (via the already-transitive ``sp`` closure) and one
+    transitive-property step from the current edge set, anti-joins the
+    known set and stops when a round adds nothing. All schema sides are
+    broadcast; the transitive step is the only self-join of the data."""
+
+    def round_of(cur: DataFrame) -> DataFrame:
+        flipped = cur.join(broadcast(inv_both), cur["pred"] == F.col("p")).select(
+            F.col("obj").alias("subj"),
+            F.col("q").alias("pred"),
+            F.col("subj").alias("obj"),
+        )
+        mirrored = cur.join(broadcast(sym), cur["pred"] == F.col("p")).select(
+            F.col("obj").alias("subj"), "pred", F.col("subj").alias("obj")
+        )
+        inherited = cur.join(broadcast(sp), cur["pred"] == sp["sub"]).select(
+            "subj", F.col("sup").alias("pred"), "obj"
+        )
+        tr = cur.join(broadcast(trans_preds), cur["pred"] == F.col("p")).select(
+            "subj", "pred", "obj"
+        )
+        step = tr.select(
+            F.col("pred").alias("_p"),
+            F.col("subj").alias("_s"),
+            F.col("obj").alias("_o"),
+        )
+        chained = (
+            tr.join(step, (tr["pred"] == step["_p"]) & (tr["obj"] == step["_s"]))
+            .select("subj", "pred", F.col("_o").alias("obj"))
+            .where(F.col("subj") != F.col("obj"))
+        )
+        return _dedup([flipped, mirrored, inherited, chained])
+
+    known = data.distinct().localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        new = (
+            round_of(known)
+            .join(known, ["subj", "pred", "obj"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if not new.take(1):
+            break
+        known = known.unionByName(new).distinct().localCheckpoint(eager=True)
+    return known
+
+
+def rdfs_closure(
+    quads: DataFrame,
+    *,
+    owl_rules: bool = True,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Materialize the RDFS(+OWL-property) closure of ``quads``.
+
+    Returns ``(subj, pred, obj)`` distinct — the input triples plus
+    everything the rule set above entails. Use :func:`rdfs_inferred`
+    for the delta only. ``owl_rules=False`` restricts to pure RDFS
+    (subPropertyOf/subClassOf/domain/range)."""
+    t = quads.select("subj", "pred", "obj")
+
+    # --- schema relations (vocabulary-sized; broadcast everywhere) ----
+    def rel(p: str) -> DataFrame:
+        return t.where(F.col("pred") == p).select(
+            F.col("subj").alias("sub"), F.col("obj").alias("sup")
+        )
+
+    sp = transitive_closure(rel(_SUB_PROP), max_rounds=max_rounds)
+    sc = transitive_closure(rel(_SUB_CLASS), max_rounds=max_rounds)
+    dom = rel(_DOMAIN)
+    rng = rel(_RANGE)
+
+    # --- stratum 1: edge rules to joint fixpoint ----------------------
+    # rdf:type and the schema predicates themselves are excluded from
+    # property inheritance (ρdf restriction — keeps strata independent).
+    data = t.where(~F.col("pred").isin(_TYPE, *_SCHEMA_PREDS))
+
+    empty_rel = data.sparkSession.createDataFrame([], "p string, q string")
+    if owl_rules:
+        inv = t.where(F.col("pred") == _INVERSE).select(
+            F.col("subj").alias("p"), F.col("obj").alias("q")
+        )
+        inv_both = inv.unionByName(
+            inv.select(F.col("q").alias("p"), F.col("p").alias("q"))
+        ).distinct()
+        sym = (
+            t.where((F.col("pred") == _TYPE) & (F.col("obj") == _SYMMETRIC))
+            .select(F.col("subj").alias("p"))
+            .distinct()
+        )
+        trans_preds = (
+            t.where((F.col("pred") == _TYPE) & (F.col("obj") == _TRANSITIVE))
+            .select(F.col("subj").alias("p"))
+            .distinct()
+        )
+    else:
+        inv_both = empty_rel
+        sym = empty_rel.select("p")
+        trans_preds = empty_rel.select("p")
+
+    data = _edge_rules_fixpoint(
+        data,
+        sp=sp,
+        inv_both=inv_both,
+        sym=sym,
+        trans_preds=trans_preds,
+        max_rounds=max_rounds,
+    )
+
+    # --- stratum 2: domain/range typing -------------------------------
+    dom_types = data.join(broadcast(dom), data["pred"] == dom["sub"]).select(
+        "subj", F.lit(_TYPE).alias("pred"), F.col("sup").alias("obj")
+    )
+    rng_types = (
+        data.where(F.col("obj").startswith("<"))  # resource objects only
+        .join(broadcast(rng), data["pred"] == rng["sub"])
+        .select(
+            F.col("obj").alias("subj"),
+            F.lit(_TYPE).alias("pred"),
+            F.col("sup").alias("obj"),
+        )
+    )
+    types = _dedup(
+        [t.where(F.col("pred") == _TYPE).select("subj", "pred", "obj"),
+         dom_types, rng_types]
+    )
+
+    # --- stratum 3: class inheritance (rdfs9 over sc closure) ---------
+    super_types = types.join(broadcast(sc), types["obj"] == sc["sub"]).select(
+        "subj", "pred", F.col("sup").alias("obj")
+    )
+
+    sp_triples = sp.select(
+        F.col("sub").alias("subj"),
+        F.lit(_SUB_PROP).alias("pred"),
+        F.col("sup").alias("obj"),
+    )
+    sc_triples = sc.select(
+        F.col("sub").alias("subj"),
+        F.lit(_SUB_CLASS).alias("pred"),
+        F.col("sup").alias("obj"),
+    )
+    return _dedup(
+        [t.select("subj", "pred", "obj"), data, types, super_types,
+         sp_triples, sc_triples]
+    )
+
+
+def rdfs_inferred(
+    quads: DataFrame, *, owl_rules: bool = True, max_rounds: int = 20
+) -> DataFrame:
+    """The entailed delta only: closure minus the asserted triples."""
+    return rdfs_closure(
+        quads, owl_rules=owl_rules, max_rounds=max_rounds
+    ).join(
+        quads.select("subj", "pred", "obj").distinct(),
+        ["subj", "pred", "obj"],
+        "left_anti",
+    )
+
+
+def _dedup(parts: list[DataFrame]) -> DataFrame:
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def rdfs_closure_sql_cte(
+    *,
+    schema_values_sql: str,
+    sp_depth: int = 4,
+    sc_depth: int = 4,
+    edge_rounds: int = 6,
+) -> str:
+    """DuckDB twin of :func:`rdfs_closure` (owl_rules=True) as a CTE
+    chain ending in ``closure_final(subj, pred, obj)``. Assumes a
+    ``quads`` CTE in scope; ``schema_values_sql`` is a relation of the
+    schema triples (subj, pred, obj) to union in (the Spark side unions
+    the same rows). The Spark side iterates to fixpoint; here the
+    schema closures and the joint edge-rule round are unrolled to fixed
+    depths — exact when the fixture converges within them (UNION
+    deduplicates, so over-unrolling past convergence is a no-op)."""
+    parts = [
+        f"schema_rows AS ({schema_values_sql})",
+        "t0 AS MATERIALIZED (SELECT subj, pred, obj FROM quads "
+        "UNION SELECT subj, pred, obj FROM schema_rows)",
+        f"sp0 AS MATERIALIZED (SELECT DISTINCT subj AS sub, obj AS sup FROM t0 "
+        f"WHERE pred = '{_SUB_PROP}')",
+        f"sc0 AS MATERIALIZED (SELECT DISTINCT subj AS sub, obj AS sup FROM t0 "
+        f"WHERE pred = '{_SUB_CLASS}')",
+    ]
+    for name, depth in (("sp", sp_depth), ("sc", sc_depth)):
+        prev = f"{name}0"
+        for i in range(1, depth + 1):
+            parts.append(
+                f"{name}{i} AS MATERIALIZED (SELECT sub, sup FROM {prev} UNION "
+                f"SELECT a.sub, b.sup FROM {prev} a JOIN {prev} b "
+                f"ON a.sup = b.sub WHERE a.sub <> b.sup)"
+            )
+            prev = f"{name}{i}"
+        parts.append(f"{name}cl AS MATERIALIZED (SELECT sub, sup FROM {prev})")
+    parts += [
+        f"invrel AS MATERIALIZED (SELECT subj AS p, obj AS q FROM t0 WHERE pred = '{_INVERSE}' "
+        f"UNION SELECT obj AS p, subj AS q FROM t0 WHERE pred = '{_INVERSE}')",
+        f"symp AS MATERIALIZED (SELECT DISTINCT subj AS p FROM t0 "
+        f"WHERE pred = '{_TYPE}' AND obj = '{_SYMMETRIC}')",
+        f"trp AS MATERIALIZED (SELECT DISTINCT subj AS p FROM t0 "
+        f"WHERE pred = '{_TYPE}' AND obj = '{_TRANSITIVE}')",
+        f"dom AS MATERIALIZED (SELECT subj AS sub, obj AS sup FROM t0 WHERE pred = '{_DOMAIN}')",
+        f"rng AS MATERIALIZED (SELECT subj AS sub, obj AS sup FROM t0 WHERE pred = '{_RANGE}')",
+        f"d0 AS MATERIALIZED (SELECT subj, pred, obj FROM t0 WHERE pred NOT IN "
+        f"('{_TYPE}', '{_SUB_PROP}', '{_SUB_CLASS}', '{_DOMAIN}', "
+        f"'{_RANGE}', '{_INVERSE}'))",
+    ]
+    prev = "d0"
+    for i in range(1, edge_rounds + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT subj, pred, obj FROM {prev} "
+            f"UNION SELECT d.obj, i.q, d.subj FROM {prev} d "
+            f"JOIN invrel i ON d.pred = i.p "
+            f"UNION SELECT d.obj, d.pred, d.subj FROM {prev} d "
+            f"JOIN symp s ON d.pred = s.p "
+            f"UNION SELECT d.subj, s.sup, d.obj FROM {prev} d "
+            f"JOIN spcl s ON d.pred = s.sub "
+            f"UNION SELECT a.subj, a.pred, b.obj FROM {prev} a "
+            f"JOIN trp ON a.pred = trp.p "
+            f"JOIN {prev} b ON b.pred = a.pred AND a.obj = b.subj "
+            f"WHERE a.subj <> b.obj)"
+        )
+        prev = f"d{i}"
+    parts += [
+        f"dfinal AS MATERIALIZED (SELECT subj, pred, obj FROM {prev})",
+        f"types0 AS MATERIALIZED (SELECT subj, pred, obj FROM t0 WHERE pred = '{_TYPE}' "
+        f"UNION SELECT d.subj, '{_TYPE}', m.sup FROM dfinal d JOIN dom m ON d.pred = m.sub "
+        f"UNION SELECT d.obj, '{_TYPE}', r.sup FROM dfinal d JOIN rng r "
+        f"ON d.pred = r.sub WHERE d.obj LIKE '<%')",
+        f"types1 AS MATERIALIZED (SELECT subj, pred, obj FROM types0 "
+        f"UNION SELECT y.subj, '{_TYPE}', c.sup FROM types0 y JOIN sccl c ON y.obj = c.sub)",
+        f"closure_final AS MATERIALIZED (SELECT subj, pred, obj FROM t0 "
+        f"UNION SELECT subj, pred, obj FROM dfinal "
+        f"UNION SELECT subj, pred, obj FROM types1 "
+        f"UNION SELECT sub, '{_SUB_PROP}', sup FROM spcl "
+        f"UNION SELECT sub, '{_SUB_CLASS}', sup FROM sccl)",
+    ]
+    return ",\n".join(parts)
