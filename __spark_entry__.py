@@ -2443,6 +2443,42 @@ WHERE q.subj = '<{G}#region-0>'
 """
 
 
+_SPARQL_FUNCS = f"""
+PREFIX t: <{G}#>
+SELECT ?s ?bucket ?tag WHERE {{ GRAPH <{G}> {{
+    ?s a t:Supplier ;
+       t:acctBal ?b ;
+       rdfs:label ?n .
+    BIND(FLOOR(?b) AS ?bucket)
+    BIND(MD5(?n) AS ?tag)
+    FILTER(ABS(?b) > 100)
+}} }}"""
+
+
+def q_sparql_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 function library in one query: numeric FLOOR/ABS over
+    the decimal literal's value (re-encoded as xsd:integer), the MD5
+    hash builtin as a plain literal, composed with BIND and a numeric
+    FILTER — all plain Column expressions inside whole-stage codegen
+    (query/sparql.py:_numeric_operand/_string_operand), no UDFs."""
+    from ontograph_spark.query import sparql_select
+
+    return sparql_select(quads_df(spark, sf_dir), _SPARQL_FUNCS)
+
+
+_SQL_SPARQL_FUNCS = f"""{_W}
+SELECT ty.subj AS s,
+       '"' || CAST(CAST(floor(CAST(regexp_extract(b.obj, '"([^"]*)"', 1) AS DOUBLE)) AS BIGINT) AS VARCHAR)
+           || '"^^<{vocab.XSD_INTEGER}>' AS bucket,
+       '"' || md5(regexp_extract(n.obj, '"([^"]*)"', 1)) || '"' AS tag
+FROM quads ty
+JOIN quads b ON b.subj = ty.subj AND b.pred = '<{G}#acctBal>'
+JOIN quads n ON n.subj = ty.subj AND n.pred = '{LABEL}'
+WHERE ty.pred = '{RDF_TYPE}' AND ty.obj = '<{G}#Supplier>'
+  AND abs(CAST(regexp_extract(b.obj, '"([^"]*)"', 1) AS DOUBLE)) > 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2526,6 +2562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_negpath": q_sparql_negpath,
         "sparql_groupconcat": q_sparql_groupconcat,
         "sparql_describe": q_sparql_describe,
+        "sparql_funcs": q_sparql_funcs,
     }
 
 
@@ -2600,6 +2637,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_negpath": _SQL_SPARQL_NEGPATH,
         "sparql_groupconcat": _SQL_SPARQL_GROUPCONCAT,
         "sparql_describe": _SQL_SPARQL_DESCRIBE,
+        "sparql_funcs": _SQL_SPARQL_FUNCS,
         # multimodal: the Arrow mapInPandas stages aren't SQL-expressible,
         # but their input is a deterministic fixed-size synth table, so
         # the rollups are golden VALUES pins (derived in pure Python,

@@ -49,8 +49,16 @@ tests/test_sparql_query.py alongside the repo's own
   ``isLiteral``/``isBlank``/``isNumeric``, the string tests
   ``REGEX(?v, "pat"[, "i"])`` / ``STRSTARTS`` / ``STRENDS`` /
   ``CONTAINS`` (over the literal's value), the string builtins
-  ``UCASE``/``LCASE``/``SUBSTR``/``REPLACE``/``STRBEFORE``/``STRAFTER``
-  (composable, plain Column expressions) and numeric ``STRLEN``, the
+  ``UCASE``/``LCASE``/``SUBSTR``/``REPLACE``/``STRBEFORE``/``STRAFTER``/
+  ``ENCODE_FOR_URI`` (composable, plain Column expressions), the
+  numeric builtins ``STRLEN``/``ABS``/``CEIL``/``FLOOR``/``ROUND``
+  (ROUND is half-away-from-zero — the Spark/DuckDB convention; XPath
+  resolves ties toward +∞), the datetime accessors
+  ``YEAR``/``MONTH``/``DAY``/``HOURS``/``MINUTES``/``SECONDS`` over
+  ``xsd:dateTime`` lexical forms (SECONDS truncates to the integral
+  second), the hash functions ``MD5``/``SHA1``/``SHA256``/``SHA384``/
+  ``SHA512`` (lowercase hex, JVM-side), the term constructors
+  ``IRI``/``URI``/``STRDT``/``STRLANG``, the
   accessors ``LANG(?v)`` / ``DATATYPE(?v)``
   / ``STR(?v)`` in comparisons, and ``[NOT] EXISTS { … }`` — a
   top-level [NOT] EXISTS compiles to a semi/anti join on the shared
@@ -62,7 +70,12 @@ tests/test_sparql_query.py alongside the repo's own
 * ``BIND(expr AS ?v)`` where ``expr`` is a variable, a constant, an
   accessor (``STR``/``LANG``/``DATATYPE``), a string builtin
   (``UCASE``/``LCASE``/``SUBSTR``/``REPLACE``/``STRBEFORE``/
-  ``STRAFTER``/``STRLEN``), ``CONCAT(…)`` of string
+  ``STRAFTER``/``STRLEN``/``ENCODE_FOR_URI``), a numeric builtin
+  (``ABS``/``CEIL``/``FLOOR``/``ROUND`` — results re-encoded as
+  ``xsd:integer`` when integral, else ``xsd:decimal``), a datetime
+  accessor (``YEAR``…``SECONDS``, as ``xsd:integer``), a hash
+  (``MD5``/``SHA…`` as plain literals), a term constructor
+  (``IRI``/``URI``/``STRDT``/``STRLANG``), ``CONCAT(…)`` of string
   operands, ``COALESCE(expr, …)`` or ``IF(boolean, expr, expr)`` —
   applied at the end of its group, before that group's FILTERs (a
   documented simplification of SPARQL's position-sensitive BIND; every
@@ -1154,7 +1167,48 @@ class _Parser:
             if not all(a[0] == "str" for a in args[1:]):
                 raise SparqlSyntaxError(f"{name} needs constant string args")
             return ("sfunc", name, args)
-        if self.at_kw("UCASE", "LCASE", "SUBSTR", "REPLACE", "STRBEFORE", "STRAFTER"):
+        if self.at_kw("CONCAT", "COALESCE", "IF") and self._next_is_lparen():
+            return self._parse_bind_expr()
+        if self.at_kw("ABS", "CEIL", "FLOOR", "ROUND"):
+            name = self.next()[1].upper()
+            args = self._parse_call_args()
+            if len(args) != 1:
+                raise SparqlSyntaxError(f"{name} takes 1 arg")
+            return ("mathfunc", name, args[0])
+        if self.at_kw("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS"):
+            name = self.next()[1].upper()
+            args = self._parse_call_args()
+            if len(args) != 1:
+                raise SparqlSyntaxError(f"{name} takes 1 arg")
+            return ("dtfunc", name, args[0])
+        if self.at_kw("MD5", "SHA1", "SHA256", "SHA384", "SHA512"):
+            name = self.next()[1].upper()
+            args = self._parse_call_args()
+            if len(args) != 1:
+                raise SparqlSyntaxError(f"{name} takes 1 arg")
+            return ("hashfunc", name, args[0])
+        if self.at_kw("IRI", "URI"):
+            self.next()
+            args = self._parse_call_args()
+            if len(args) != 1:
+                raise SparqlSyntaxError("IRI takes 1 arg")
+            return ("irifunc", args[0])
+        if self.at_kw("STRDT"):
+            self.next()
+            args = self._parse_call_args()
+            if len(args) != 2 or args[1][0] != "term" or not args[1][1].startswith("<"):
+                raise SparqlSyntaxError("STRDT takes (expr, <datatype-iri>)")
+            return ("strdt", args[0], args[1][1])
+        if self.at_kw("STRLANG"):
+            self.next()
+            args = self._parse_call_args()
+            if len(args) != 2 or args[1][0] != "str":
+                raise SparqlSyntaxError('STRLANG takes (expr, "lang")')
+            return ("strlang", args[0], args[1][1])
+        if self.at_kw(
+            "UCASE", "LCASE", "SUBSTR", "REPLACE", "STRBEFORE", "STRAFTER",
+            "ENCODE_FOR_URI",
+        ):
             name = self.next()[1].upper()
             args = self._parse_call_args()
             want = {
@@ -1164,6 +1218,7 @@ class _Parser:
                 "REPLACE": (3, 3),
                 "STRBEFORE": (2, 2),
                 "STRAFTER": (2, 2),
+                "ENCODE_FOR_URI": (1, 1),
             }[name]
             if not (want[0] <= len(args) <= want[1]):
                 raise SparqlSyntaxError(f"{name} takes {want[0]}-{want[1]} args")
@@ -1650,10 +1705,33 @@ def _string_operand(node, columns: set[str]) -> Column:
         return _ACCESSORS[node[1]](F.col(node[2]))
     if kind == "str":
         return F.lit(node[1])
+    if kind == "concat":
+        return F.concat(
+            *[
+                F.lit(a[1]) if a[0] == "str" else _string_operand(a, columns)
+                for a in node[1]
+            ]
+        )
+    if kind == "hashfunc":
+        name = node[1]
+        inner = _string_operand(node[2], columns)
+        if name == "MD5":
+            return F.md5(inner)
+        if name == "SHA1":
+            return F.sha1(inner)
+        return F.sha2(inner, int(name[3:]))  # SHA256/SHA384/SHA512
     if kind == "sxfunc":
         name, args = node[1], node[2]
         inner = _string_operand(args[0], columns)
         consts = [a[1] for a in args[1:]]
+        if name == "ENCODE_FOR_URI":
+            # SPARQL §17.4.3.10 via url_encode, correcting the three
+            # application/x-www-form-urlencoded divergences: space is
+            # %20 not '+', '~' stays bare, '*' is percent-encoded.
+            enc = F.url_encode(inner)
+            enc = F.regexp_replace(enc, r"\+", "%20")
+            enc = F.regexp_replace(enc, "%7E", "~")
+            return F.regexp_replace(enc, r"\*", "%2A")
         if name == "UCASE":
             return F.upper(inner)
         if name == "LCASE":
@@ -1678,6 +1756,59 @@ def _string_operand(node, columns: set[str]) -> Column:
             pos > 0, inner.substr(pos + len(needle), F.length(inner))
         ).otherwise(F.lit(""))
     raise SparqlSyntaxError(f"{node!r} is not a string-valued operand")
+
+
+def _numeric_operand(node, columns: set[str]) -> Column:
+    """An expression operand as a double Column: vars via the literal's
+    numeric value (``try_cast`` — non-numeric ⇒ null ⇒ row dropped,
+    the engine's comparison convention), the numeric builtins
+    ABS/CEIL/FLOOR/ROUND applied recursively, the datetime accessors
+    YEAR/…/SECONDS over ``xsd:dateTime`` lexical forms, and STRLEN.
+    ROUND is half-away-from-zero (the Spark/DuckDB convention; XPath's
+    fn:round resolves ties toward +∞ — documented divergence)."""
+    kind = node[0]
+    if kind == "var":
+        if node[1] not in columns:
+            raise SparqlSyntaxError(f"FILTER references unbound ?{node[1]}")
+        return term_value_col(F.col(node[1])).try_cast("double")
+    if kind == "num":
+        return F.lit(node[1])
+    if kind == "nfunc":
+        return F.length(_string_operand(node[2], columns)).cast("double")
+    if kind == "mathfunc":
+        inner = _numeric_operand(node[2], columns)
+        if node[1] == "ABS":
+            return F.abs(inner)
+        if node[1] == "CEIL":
+            return F.ceil(inner).cast("double")
+        if node[1] == "FLOOR":
+            return F.floor(inner).cast("double")
+        return F.round(inner, 0)  # ROUND
+    if kind == "dtfunc":
+        ts = F.to_timestamp(term_value_col(_term_operand(node[2], columns)))
+        fn = {
+            "YEAR": F.year,
+            "MONTH": F.month,
+            "DAY": F.dayofmonth,
+            "HOURS": F.hour,
+            "MINUTES": F.minute,
+            "SECONDS": F.second,
+        }[node[1]]
+        return fn(ts).cast("double")
+    raise SparqlSyntaxError(f"{node!r} is not a numeric operand")
+
+
+def _term_operand(node, columns: set[str]) -> Column:
+    """A var or constant as its encoded-term Column (used where a
+    builtin needs the raw term to decode, e.g. datetime accessors)."""
+    if node[0] == "var":
+        if node[1] not in columns:
+            raise SparqlSyntaxError(f"FILTER references unbound ?{node[1]}")
+        return F.col(node[1])
+    if node[0] in ("term", "str"):
+        val = node[1] if node[0] == "term" else f'"{node[1]}"'
+        return F.lit(val)
+    raise SparqlSyntaxError(f"{node!r} is not a term operand")
 
 
 def _bind_value(node, columns: set[str]) -> Column:
@@ -1711,6 +1842,50 @@ def _bind_value(node, columns: set[str]) -> Column:
             F.length(_string_operand(node[2], columns)).cast("string"),
             F.lit(f'"^^<{vocab.XSD_INTEGER}>'),
         )
+    if kind == "hashfunc":
+        return F.concat(F.lit('"'), _string_operand(node, columns), F.lit('"'))
+    if kind in ("mathfunc", "dtfunc"):
+        val = _numeric_operand(node, columns)
+        if kind == "dtfunc" or node[1] in ("CEIL", "FLOOR", "ROUND"):
+            # integral by construction ⇒ xsd:integer
+            return F.concat(
+                F.lit('"'),
+                val.cast("long").cast("string"),
+                F.lit(f'"^^<{vocab.XSD_INTEGER}>'),
+            )
+        # ABS: integer when the value is integral, else decimal —
+        # deterministic value-shape encoding (SPARQL preserves the
+        # operand's numeric type; the engine's numeric mode is doubles)
+        return F.when(
+            val == val.cast("long").cast("double"),
+            F.concat(
+                F.lit('"'),
+                val.cast("long").cast("string"),
+                F.lit(f'"^^<{vocab.XSD_INTEGER}>'),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit('"'),
+                val.cast("string"),
+                F.lit(f'"^^<{vocab.XSD_DECIMAL}>'),
+            )
+        )
+    if kind == "irifunc":
+        return F.concat(
+            F.lit("<"), _string_operand(node[1], columns), F.lit(">")
+        )
+    if kind == "strdt":
+        return F.concat(
+            F.lit('"'),
+            _string_operand(node[1], columns),
+            F.lit(f'"^^{node[2]}'),
+        )
+    if kind == "strlang":
+        return F.concat(
+            F.lit('"'),
+            _string_operand(node[1], columns),
+            F.lit(f'"@{node[2]}'),
+        )
     if kind == "concat":
         parts = []
         for a in node[1]:
@@ -1736,7 +1911,13 @@ def _operand_mode(node) -> str:
         "var": "var",
         "acc": "acc",
         "sxfunc": "acc",
+        "hashfunc": "acc",
         "nfunc": "num",
+        "mathfunc": "num",
+        "dtfunc": "num",
+        "irifunc": "term",
+        "strdt": "term",
+        "strlang": "term",
         "hcol": "raw",
     }
     if node[0] not in modes:
@@ -1749,10 +1930,12 @@ def _cmp_side(node, mode: str, columns: set[str]) -> Column:
     if kind == "hcol":
         # a hidden HAVING aggregate column — already a numeric Column
         return F.col(node[1])
-    if kind in ("acc", "sxfunc"):
+    if kind in ("acc", "sxfunc", "hashfunc"):
         return _string_operand(node, columns)
-    if kind == "nfunc":
-        return F.length(_string_operand(node[2], columns))
+    if kind in ("nfunc", "mathfunc", "dtfunc"):
+        return _numeric_operand(node, columns)
+    if kind in ("irifunc", "strdt", "strlang"):
+        return _bind_value(node, columns)
     if kind == "var":
         if node[1] not in columns:
             raise SparqlSyntaxError(f"FILTER references unbound ?{node[1]}")

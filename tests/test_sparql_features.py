@@ -1228,3 +1228,129 @@ def test_exists_inside_graph_block_is_graph_scoped(scoped):
         FILTER EXISTS { <urn:sc#s2> <urn:sc#type> ?t }
     } }"""
     assert sparql_select(scoped, q2).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 function library: numeric / datetime / hash builtins and
+# term constructors (IRI / STRDT / STRLANG / ENCODE_FOR_URI)
+# ---------------------------------------------------------------------------
+
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+@pytest.fixture(scope="module")
+def funcdata(spark):
+    rows = [
+        ("<u:a>", "<u:val>", f'"-2.5"^^<{_XSD}decimal>', "g"),
+        ("<u:a>", "<u:when>", f'"2023-05-01T10:30:45"^^<{_XSD}dateTime>', "g"),
+        ("<u:a>", "<u:name>", '"caf e~*"', "g"),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string"
+    )
+
+
+def _one(df, text):
+    rows = sparql_select(df, text).collect()
+    assert len(rows) == 1, rows
+    return rows[0][0]
+
+
+@pytest.mark.parametrize(
+    "expr,want",
+    [
+        ("ABS(?v)", f'"2.5"^^<{_XSD}decimal>'),
+        ("CEIL(?v)", f'"-2"^^<{_XSD}integer>'),
+        ("FLOOR(?v)", f'"-3"^^<{_XSD}integer>'),
+        ("ROUND(?v)", f'"-3"^^<{_XSD}integer>'),  # half away from zero
+        ("ABS(FLOOR(?v))", f'"3"^^<{_XSD}integer>'),
+    ],
+)
+def test_numeric_builtins_in_bind(funcdata, expr, want):
+    got = _one(
+        funcdata, f"SELECT ?x WHERE {{ ?s <u:val> ?v . BIND({expr} AS ?x) }}"
+    )
+    assert got == want
+
+
+@pytest.mark.parametrize(
+    "fn,want",
+    [("YEAR", 2023), ("MONTH", 5), ("DAY", 1), ("HOURS", 10),
+     ("MINUTES", 30), ("SECONDS", 45)],
+)
+def test_datetime_accessors(funcdata, fn, want):
+    got = _one(
+        funcdata, f"SELECT ?x WHERE {{ ?s <u:when> ?v . BIND({fn}(?v) AS ?x) }}"
+    )
+    assert got == f'"{want}"^^<{_XSD}integer>'
+    assert sparql_select(
+        funcdata,
+        f"SELECT ?s WHERE {{ ?s <u:when> ?v . FILTER({fn}(?v) = {want}) }}",
+    ).count() == 1
+
+
+def test_hash_builtins_match_python(funcdata):
+    import hashlib
+
+    for fn, alg in (("MD5", "md5"), ("SHA1", "sha1"), ("SHA256", "sha256"),
+                    ("SHA384", "sha384"), ("SHA512", "sha512")):
+        got = _one(
+            funcdata,
+            f"SELECT ?x WHERE {{ ?s <u:name> ?v . BIND({fn}(?v) AS ?x) }}",
+        )
+        want = getattr(hashlib, alg)(b"caf e~*").hexdigest()
+        assert got == f'"{want}"', fn
+
+
+def test_encode_for_uri_rfc3986(funcdata):
+    # space -> %20 (not '+'), '~' bare, '*' encoded — the three
+    # divergences from application/x-www-form-urlencoded
+    got = _one(
+        funcdata,
+        "SELECT ?x WHERE { ?s <u:name> ?v . BIND(ENCODE_FOR_URI(?v) AS ?x) }",
+    )
+    assert got == '"caf%20e~%2A"'
+
+
+def test_term_constructors(funcdata):
+    got = _one(
+        funcdata,
+        'SELECT ?x WHERE { ?s <u:name> ?v . '
+        'BIND(IRI(CONCAT("urn:n#", ?v)) AS ?x) }',
+    )
+    assert got == "<urn:n#caf e~*>"
+    assert _one(
+        funcdata,
+        'SELECT ?x WHERE { ?s <u:name> ?v . BIND(STRLANG(?v, "en") AS ?x) }',
+    ) == '"caf e~*"@en'
+    assert _one(
+        funcdata,
+        "SELECT ?x WHERE { ?s <u:name> ?v . BIND(STRDT(?v, <u:dt>) AS ?x) }",
+    ) == '"caf e~*"^^<u:dt>'
+
+
+def test_numeric_builtin_in_filter_comparison(funcdata):
+    assert sparql_ask(
+        funcdata, "ASK { ?s <u:val> ?v . FILTER(ABS(?v) > 2) }"
+    )
+    assert not sparql_ask(
+        funcdata, "ASK { ?s <u:val> ?v . FILTER(ABS(?v) > 3) }"
+    )
+
+
+def test_hash_in_filter(funcdata):
+    import hashlib
+
+    h = hashlib.md5(b"caf e~*").hexdigest()
+    assert sparql_ask(
+        funcdata, f'ASK {{ ?s <u:name> ?v . FILTER(MD5(?v) = "{h}") }}'
+    )
+
+
+def test_builtin_arity_errors(funcdata):
+    for bad in (
+        "SELECT ?x WHERE { ?s <u:val> ?v . BIND(ABS(?v, ?v) AS ?x) }",
+        "SELECT ?x WHERE { ?s <u:val> ?v . BIND(STRDT(?v, \"notiri\") AS ?x) }",
+    ):
+        with pytest.raises(SparqlSyntaxError):
+            sparql_select(funcdata, bad)
