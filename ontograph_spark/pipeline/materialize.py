@@ -170,3 +170,46 @@ def compact(spark: SparkSession, out_root: str, dest: str) -> int:
     q = read_quads(spark, out_root)
     write_quads(q, dest)
     return spark.read.schema(QUAD_SCHEMA).parquet(dest).count()
+
+
+def save_bucketed_table(
+    quads: DataFrame, table: str, buckets: int = 64
+) -> None:
+    """Persist the quad table **bucketed by subject** — the layout that
+    makes the read side's per-subject work shuffle-free.
+
+    This is the parquet/catalog stand-in for Iceberg's
+    ``bucket(N, subj)`` partition transform: every row with the same
+    subject lands in the same bucket file, and Spark records the
+    bucketing spec in the catalog, so
+
+    * star-shaped BGP joins (several patterns sharing the SPARQL
+      subject variable — the dominant ontology query shape) become
+      bucket-local sort-merge joins with **no Exchange on either
+      side** (pinned in tests/test_plans.py);
+    * per-subject folds (GetIndividual's precedence fold, upsert
+      anti-joins keyed by subject, DESCRIBE hydration) reuse the
+      stored partitioning instead of re-shuffling;
+    * predicate/graph constants still push down to the parquet scan —
+      bucketing composes with, not replaces, pushdown.
+
+    Pick ``buckets`` so one bucket of the biggest graph fits an
+    executor's shuffle-free sort (~the same arithmetic as
+    ``spark.sql.shuffle.partitions`` at the target scale; 64 here is
+    test-sized). Write cost is one salted repartition — the same
+    shuffle the plain write already pays."""
+    (
+        quads.repartition(buckets, F.col("subj"))
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, "subj")
+        .sortBy("subj", "pred")
+        .saveAsTable(table)
+    )
+
+
+def bucketed_quads(spark: SparkSession, table: str) -> DataFrame:
+    """The bucketed quad table as a DataFrame (bucketing metadata rides
+    along from the catalog — feed this straight into sparql_select /
+    store operators to get bucket-local joins)."""
+    return spark.table(table)

@@ -415,3 +415,93 @@ def test_sparql_having_single_aggregate(pstore):
     plan = plan_of(sparql_select(pstore.df(), q))
     # exactly one aggregation pair (partial + final HashAggregate)
     assert plan.count("HashAggregate") == 2
+
+
+def test_bucketed_table_star_join_has_no_exchange(spark, tmp_path_factory):
+    """save_bucketed_table: a star-shaped self-join on the bucket column
+    (subject) must be bucket-local — no Exchange on either side, the
+    layout guarantee that holds at any scale."""
+    from ontograph_spark.pipeline.materialize import (
+        bucketed_quads,
+        save_bucketed_table,
+    )
+
+    loc = tmp_path_factory.mktemp("bucketdb")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{loc}'")
+    rows = [
+        (f"<u:e{i}>", p, f'"{i}-{p[-3:-1]}"', "g")
+        for i in range(50)
+        for p in ("<u:name>", "<u:kind>")
+    ]
+    quads = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string"
+    )
+    try:
+        save_bucketed_table(quads, "bucketdb.quads_b", buckets=4)
+        t = bucketed_quads(spark, "bucketdb.quads_b")
+        with _no_broadcast(spark):
+            a = t.where(F.col("pred") == "<u:name>").select(
+                "subj", F.col("obj").alias("name")
+            )
+            b = t.where(F.col("pred") == "<u:kind>").select(
+                "subj", F.col("obj").alias("kind")
+            )
+            joined = a.join(b, "subj")
+            assert joined.count() == 50
+            plan = plan_of(joined)
+        assert "Exchange" not in plan, plan
+        # pushdown still composes with bucketing
+        assert "PushedFilters" in plan or "pred" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketdb.quads_b")
+        spark.sql("DROP DATABASE IF EXISTS bucketdb")
+
+
+def test_bucketed_table_sparql_star_no_exchange(spark, tmp_path_factory):
+    """The same guarantee through the SPARQL compiler: a two-pattern
+    star query over the bucketed table plans bucket-local joins."""
+    from ontograph_spark.pipeline.materialize import (
+        bucketed_quads,
+        save_bucketed_table,
+    )
+    from ontograph_spark.query import sparql_select
+
+    loc = tmp_path_factory.mktemp("bucketdb2")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdb2 LOCATION '{loc}'")
+    rows = [
+        (f"<u:e{i}>", p, f'"{i}"', "g")
+        for i in range(20)
+        for p in ("<u:name>", "<u:kind>")
+    ]
+    quads = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string"
+    )
+    try:
+        save_bucketed_table(quads, "bucketdb2.quads_b", buckets=4)
+        t = bucketed_quads(spark, "bucketdb2.quads_b")
+        with _no_broadcast(spark):
+            df = sparql_select(
+                t, "SELECT ?s ?n ?k WHERE { ?s <u:name> ?n ; <u:kind> ?k }"
+            )
+            assert df.count() == 20
+            plan = plan_of(df)
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketdb2.quads_b")
+        spark.sql("DROP DATABASE IF EXISTS bucketdb2")
+
+
+class _no_broadcast:
+    """Temporarily disable broadcast joins so the bucket-locality claim
+    is tested against the shuffle planner, not hidden by tiny-table
+    broadcasts."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    def __exit__(self, *a):
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", self.prev)
