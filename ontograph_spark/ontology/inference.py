@@ -73,14 +73,43 @@ _TRANSITIVE = f"<{vocab.OWL_TRANSITIVE_PROPERTY}>"
 _SCHEMA_PREDS = (_SUB_PROP, _SUB_CLASS, _DOMAIN, _RANGE, _INVERSE)
 
 
+#: schema relations bigger than this fall back to the distributed loop
+SCHEMA_DRIVER_LIMIT = 200_000
+
+
 def transitive_closure(pairs: DataFrame, *, max_rounds: int = 20) -> DataFrame:
-    """Irreflexive transitive closure of a ``(sub, sup)`` relation by
-    frontier expansion: each round joins the frontier's ``sup`` end one
-    step further and anti-joins the known set, so hub fan-in never
-    re-expands. Intended for vocabulary-sized schema relations (the
-    per-round emptiness probe is a driver action, same as every
-    iterative fixpoint here)."""
-    known = pairs.select("sub", "sup").distinct().localCheckpoint(eager=True)
+    """Irreflexive transitive closure of a ``(sub, sup)`` relation.
+
+    Schema relations are vocabulary-sized, so the default path pulls
+    them to the driver (bounded ``take``), closes them in Python and
+    ships the result back — one job instead of one job *per round*,
+    the same bounded-small-graph pattern as pipeline/canon.py. A
+    relation larger than :data:`SCHEMA_DRIVER_LIMIT` (not actually a
+    vocabulary) uses the distributed frontier loop instead: one hash
+    join + anti-join per round, ``localCheckpoint`` truncating
+    lineage."""
+    base = pairs.select("sub", "sup").distinct()
+    head = base.take(SCHEMA_DRIVER_LIMIT + 1)
+    if len(head) <= SCHEMA_DRIVER_LIMIT:
+        out: set[tuple[str, str]] = set()
+        succ: dict[str, set[str]] = {}
+        for r in head:
+            succ.setdefault(r.sub, set()).add(r.sup)
+        for src in succ:
+            seen: set[str] = set()
+            stack = list(succ[src])
+            while stack:
+                n = stack.pop()
+                if n in seen:
+                    continue
+                seen.add(n)
+                stack.extend(succ.get(n, ()))
+            out.update((src, t) for t in seen if t != src)
+        spark = pairs.sparkSession
+        if not out:
+            return spark.createDataFrame([], "sub string, sup string")
+        return spark.createDataFrame(sorted(out), "sub string, sup string")
+    known = base.localCheckpoint(eager=True)
     frontier = known
     step = known.select(
         F.col("sub").alias("_s"), F.col("sup").alias("_o")
@@ -110,50 +139,78 @@ def _edge_rules_fixpoint(
     trans_preds: DataFrame,
     max_rounds: int,
 ) -> DataFrame:
-    """Joint fixpoint of the edge-level rules over ``(subj, pred, obj)``:
-    each round derives inverse flips, symmetric mirrors, subPropertyOf
-    inheritance (via the already-transitive ``sp`` closure) and one
-    transitive-property step from the current edge set, anti-joins the
-    known set and stops when a round adds nothing. All schema sides are
-    broadcast; the transitive step is the only self-join of the data."""
+    """Joint fixpoint of the edge-level rules over ``(subj, pred, obj)``,
+    evaluated **semi-naively**: after the first round, each rule fires
+    only on the previous round's *new* triples (the frontier), not the
+    whole accumulated set — the linear rules (inverse flip, symmetric
+    mirror, subPropertyOf inheritance via the already-transitive ``sp``
+    closure) are complete on the frontier alone, and the bilinear
+    transitive step runs frontier⋈known ∪ known⋈frontier. Frontiers
+    shrink geometrically, so late rounds are near-free. All schema
+    sides are broadcast; the transitive step is the only data-sized
+    join, and it only touches the transitive predicates' edges."""
 
-    def round_of(cur: DataFrame) -> DataFrame:
-        flipped = cur.join(broadcast(inv_both), cur["pred"] == F.col("p")).select(
+    def tr_of(df: DataFrame) -> DataFrame:
+        return df.join(broadcast(trans_preds), df["pred"] == F.col("p")).select(
+            "subj", "pred", "obj"
+        )
+
+    def derive(frontier: DataFrame, tr_known: DataFrame) -> DataFrame:
+        flipped = frontier.join(
+            broadcast(inv_both), frontier["pred"] == F.col("p")
+        ).select(
             F.col("obj").alias("subj"),
             F.col("q").alias("pred"),
             F.col("subj").alias("obj"),
         )
-        mirrored = cur.join(broadcast(sym), cur["pred"] == F.col("p")).select(
-            F.col("obj").alias("subj"), "pred", F.col("subj").alias("obj")
-        )
-        inherited = cur.join(broadcast(sp), cur["pred"] == sp["sub"]).select(
-            "subj", F.col("sup").alias("pred"), "obj"
-        )
-        tr = cur.join(broadcast(trans_preds), cur["pred"] == F.col("p")).select(
-            "subj", "pred", "obj"
-        )
-        step = tr.select(
+        mirrored = frontier.join(
+            broadcast(sym), frontier["pred"] == F.col("p")
+        ).select(F.col("obj").alias("subj"), "pred", F.col("subj").alias("obj"))
+        inherited = frontier.join(
+            broadcast(sp), frontier["pred"] == sp["sub"]
+        ).select("subj", F.col("sup").alias("pred"), "obj")
+        tr_f = tr_of(frontier)
+        known_step = tr_known.select(
             F.col("pred").alias("_p"),
             F.col("subj").alias("_s"),
             F.col("obj").alias("_o"),
         )
-        chained = (
-            tr.join(step, (tr["pred"] == step["_p"]) & (tr["obj"] == step["_s"]))
+        fwd = (
+            tr_f.join(
+                known_step,
+                (tr_f["pred"] == known_step["_p"])
+                & (tr_f["obj"] == known_step["_s"]),
+            )
             .select("subj", "pred", F.col("_o").alias("obj"))
-            .where(F.col("subj") != F.col("obj"))
         )
+        f_step = tr_f.select(
+            F.col("pred").alias("_p"),
+            F.col("subj").alias("_s"),
+            F.col("obj").alias("_o"),
+        )
+        bwd = (
+            tr_known.join(
+                f_step,
+                (tr_known["pred"] == f_step["_p"])
+                & (tr_known["obj"] == f_step["_s"]),
+            )
+            .select("subj", "pred", F.col("_o").alias("obj"))
+        )
+        chained = fwd.unionByName(bwd).where(F.col("subj") != F.col("obj"))
         return _dedup([flipped, mirrored, inherited, chained])
 
     known = data.distinct().localCheckpoint(eager=True)
+    frontier = known
     for _ in range(max_rounds):
         new = (
-            round_of(known)
+            derive(frontier, tr_of(known))
             .join(known, ["subj", "pred", "obj"], "left_anti")
             .localCheckpoint(eager=True)
         )
         if not new.take(1):
             break
-        known = known.unionByName(new).distinct().localCheckpoint(eager=True)
+        known = known.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
     return known
 
 
@@ -168,8 +225,15 @@ def rdfs_closure(
     Returns ``(subj, pred, obj)`` distinct — the input triples plus
     everything the rule set above entails. Use :func:`rdfs_inferred`
     for the delta only. ``owl_rules=False`` restricts to pure RDFS
-    (subPropertyOf/subClassOf/domain/range)."""
-    t = quads.select("subj", "pred", "obj")
+    (subPropertyOf/subClassOf/domain/range).
+
+    The input is materialized once (``localCheckpoint``) before the
+    rules run: every rule family scans it at least once, and for a
+    *derived* quad DataFrame (the common case — the closure runs right
+    after construction) re-deriving per scan would dominate the
+    closure. For a parquet-backed input this trades one write for
+    ~8 pushdown scans — still the right call at closure time."""
+    t = quads.select("subj", "pred", "obj").localCheckpoint(eager=True)
 
     # --- schema relations (vocabulary-sized; broadcast everywhere) ----
     def rel(p: str) -> DataFrame:
@@ -261,14 +325,14 @@ def rdfs_closure(
 def rdfs_inferred(
     quads: DataFrame, *, owl_rules: bool = True, max_rounds: int = 20
 ) -> DataFrame:
-    """The entailed delta only: closure minus the asserted triples."""
+    """The entailed delta only: closure minus the asserted triples.
+    The asserted set is materialized once and shared between the
+    closure and the anti-join (a derived input would otherwise be
+    re-derived for each side)."""
+    base = quads.select("subj", "pred", "obj").localCheckpoint(eager=True)
     return rdfs_closure(
-        quads, owl_rules=owl_rules, max_rounds=max_rounds
-    ).join(
-        quads.select("subj", "pred", "obj").distinct(),
-        ["subj", "pred", "obj"],
-        "left_anti",
-    )
+        base, owl_rules=owl_rules, max_rounds=max_rounds
+    ).join(base.distinct(), ["subj", "pred", "obj"], "left_anti")
 
 
 def _dedup(parts: list[DataFrame]) -> DataFrame:
