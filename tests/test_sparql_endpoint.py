@@ -236,3 +236,146 @@ def test_template_update_requires_graph_scope(endpoint, client):
         endpoint.update(
             f"INSERT {{ ?o <{U}#d> <{U}#y> }} WHERE {{ <{U}> <{U}#rel-1> ?o }}"
         )
+
+
+# ---------------------------------------------------------------------------
+# Result wire formats (query/results.py)
+# ---------------------------------------------------------------------------
+
+
+_RESULT = {
+    "head": {"vars": ["s", "v"]},
+    "results": {
+        "bindings": [
+            {
+                "s": {"type": "uri", "value": "urn:x#a"},
+                "v": {"type": "literal", "value": 'say "hi",\nok'},
+            },
+            {
+                "s": {"type": "uri", "value": "urn:x#b"},
+                "v": {
+                    "type": "literal",
+                    "value": "bonjour",
+                    "xml:lang": "fr",
+                },
+            },
+            {
+                "s": {"type": "uri", "value": "urn:x#c"},
+                "v": {
+                    "type": "literal",
+                    "value": "3",
+                    "datatype": "http://www.w3.org/2001/XMLSchema#integer",
+                },
+            },
+            {"s": {"type": "uri", "value": "urn:x#d"}},  # ?v unbound
+        ]
+    },
+}
+
+
+def test_results_json_golden():
+    from ontograph_spark.query import results_json
+    import json as _json
+
+    doc = _json.loads(results_json(_RESULT))
+    assert doc["head"] == {"vars": ["s", "v"]}
+    assert doc["results"]["bindings"][1]["v"]["xml:lang"] == "fr"
+    assert results_json({"boolean": True}) == '{"head": {}, "boolean": true}'
+
+
+def test_results_csv_golden():
+    from ontograph_spark.query import results_csv
+
+    got = results_csv(_RESULT)
+    assert got == (
+        "s,v\r\n"
+        'urn:x#a,"say ""hi"",\nok"\r\n'
+        "urn:x#b,bonjour\r\n"
+        "urn:x#c,3\r\n"
+        "urn:x#d,\r\n"
+    )
+    from ontograph_spark.query import serialize_results
+
+    assert serialize_results({"boolean": False}, "text/csv") == "boolean\r\nfalse\r\n"
+
+
+def test_results_tsv_golden():
+    from ontograph_spark.query import results_tsv
+
+    got = results_tsv(_RESULT)
+    lines = got.split("\n")
+    assert lines[0] == "?s\t?v"
+    assert lines[1] == '<urn:x#a>\t"say \\"hi\\",\\nok"'
+    assert lines[2] == '<urn:x#b>\t"bonjour"@fr'
+    assert lines[3] == (
+        '<urn:x#c>\t"3"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    )
+    assert lines[4] == "<urn:x#d>\t"
+
+
+def test_results_xml_golden():
+    from ontograph_spark.query import results_xml
+
+    got = results_xml(_RESULT)
+    assert got.startswith(
+        '<?xml version="1.0"?>'
+        '<sparql xmlns="http://www.w3.org/2005/sparql-results#">'
+        '<head><variable name="s"/><variable name="v"/></head>'
+    )
+    assert '<literal xml:lang="fr">bonjour</literal>' in got
+    assert (
+        '<literal datatype="http://www.w3.org/2001/XMLSchema#integer">3'
+        "</literal>" in got
+    )
+    assert "say &quot;hi&quot;" in got or 'say "hi"' in got
+    assert results_xml({"boolean": True}).endswith(
+        "<head/><boolean>true</boolean></sparql>"
+    )
+
+
+def test_serialize_results_negotiation():
+    from ontograph_spark.query import serialize_results
+    import pytest as _pytest
+
+    assert serialize_results(_RESULT, "application/json").startswith("{")
+    assert serialize_results(
+        _RESULT, "text/csv; charset=utf-8"
+    ).startswith("s,v")
+    with _pytest.raises(ValueError):
+        serialize_results(_RESULT, "application/rdf+xml")
+
+
+def test_endpoint_result_serializes_end_to_end(spark):
+    """Live round trip: endpoint answers a query, every wire format
+    serializes it, and the TSV cells reproduce the store's encoded
+    terms exactly (TSV is the lossless format)."""
+    from ontograph_spark.query import (
+        LocalSparqlEndpoint,
+        results_tsv,
+        serialize_results,
+    )
+    from ontograph_spark.store.memory import MemoryQuadStore
+    from ontograph_spark.ontology.resources import new_triple
+    from ontograph_spark.terms import mk_literal, mk_resource
+
+    ep = LocalSparqlEndpoint(spark, lambda uri: MemoryQuadStore(spark, uri))
+    client = ep.client("urn:wire")
+    client.add_triples(
+        [
+            new_triple(
+                mk_resource("urn:wire#e"),
+                mk_resource("urn:wire#says"),
+                mk_literal("bonjour", "fr", ""),
+            )
+        ]
+    )
+    res = ep.query("SELECT ?o WHERE { <urn:wire#e> <urn:wire#says> ?o }")
+    tsv = results_tsv(res)
+    assert tsv == '?o\n"bonjour"@fr\n'
+    for mt in (
+        "application/sparql-results+json",
+        "application/sparql-results+xml",
+        "text/csv",
+        "text/tab-separated-values",
+    ):
+        assert serialize_results(res, mt)
