@@ -89,11 +89,14 @@ tests/test_sparql_query.py alongside the repo's own
 * ``VALUES ?v { … }`` / ``VALUES (?a ?b) { (… …) … }`` inline data,
   with ``UNDEF`` as an unbound cell — compiled to a (broadcastable)
   literal DataFrame joined into the group;
-* ``ORDER BY [ASC|DESC](?v)``, ``LIMIT``, ``OFFSET``; ordering is
-  value-aware: bindings that parse as numbers order numerically first,
-  with the full encoded term as a deterministic tiebreaker, so
-  ``"9"^^xsd:decimal`` sorts before ``"10"^^xsd:decimal`` (aggregate
-  result columns are already numeric and sort directly);
+* ``ORDER BY [ASC|DESC](?v | expr) …``, ``LIMIT``, ``OFFSET``;
+  ``?var`` keys are value-aware: bindings that parse as numbers order
+  numerically first, with the full encoded term as a deterministic
+  tiebreaker, so ``"9"^^xsd:decimal`` sorts before
+  ``"10"^^xsd:decimal`` (aggregate result columns are already numeric
+  and sort directly); expression keys (``STRLEN``/``ABS``/``YEAR``/…,
+  any builtin from the function library) compile through the same
+  operand compilers as FILTER and sort on their value;
 * ``ASK [WHERE] { … }`` (the reference emits both spellings);
 * ``CONSTRUCT { template } [FROM <g>] WHERE { … }`` (the reference's
   Turtle-export form) via :func:`sparql_construct`;
@@ -814,13 +817,12 @@ class _Parser:
                     if self.at_kw("ASC", "DESC"):
                         asc = self.next()[1].upper() == "ASC"
                         self.expect_op("(")
-                        kind, text = self.next()
-                        if kind != "VAR":
-                            raise SparqlSyntaxError("ORDER BY needs ?vars")
+                        q.order.append((self._parse_bind_expr(), asc))
                         self.expect_op(")")
-                        q.order.append((text[1:], asc))
                     elif self.peek() is not None and self.peek()[0] == "VAR":
-                        q.order.append((self.next()[1][1:], True))
+                        q.order.append((("var", self.next()[1][1:]), True))
+                    elif self._at_order_expr():
+                        q.order.append((self._parse_bind_expr(), True))
                     else:
                         break
                 if not q.order:
@@ -1081,6 +1083,28 @@ class _Parser:
     def _next_is_lparen(self) -> bool:
         t = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
         return t is not None and t == ("OP", "(")
+
+    #: builtin call heads accepted as bare ORDER BY keys (a bare NAME
+    #: here could otherwise be the start of LIMIT/OFFSET/etc.)
+    _EXPR_HEADS = frozenset(
+        {
+            "STRLEN", "UCASE", "LCASE", "SUBSTR", "REPLACE", "STRBEFORE",
+            "STRAFTER", "ENCODE_FOR_URI", "ABS", "CEIL", "FLOOR", "ROUND",
+            "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
+            "MD5", "SHA1", "SHA256", "SHA384", "SHA512", "IRI", "URI",
+            "STRDT", "STRLANG", "LANG", "DATATYPE", "STR", "CONCAT",
+            "COALESCE", "IF",
+        }
+    )
+
+    def _at_order_expr(self) -> bool:
+        t = self.peek()
+        return (
+            t is not None
+            and t[0] == "NAME"
+            and t[1].upper() in self._EXPR_HEADS
+            and self._next_is_lparen()
+        )
 
     def _parse_bind_expr(self):
         """A value-producing BIND expression: variable, constant,
@@ -2207,21 +2231,39 @@ def _drop_blank_cols(df: DataFrame) -> DataFrame:
     return df.select(*keep)
 
 
-def _order_cols(df: DataFrame, order: list[tuple[str, bool]]) -> list[Column]:
-    """Value-aware ORDER BY keys: string term columns sort numerically
-    first (literal value ``try_cast`` to double; non-numeric terms group
-    together on the null key) with the full encoded term as a
-    deterministic tiebreaker; numeric columns (aggregate results) sort
-    directly."""
+def _order_cols(df: DataFrame, order: list[tuple[tuple, bool]]) -> list[Column]:
+    """Value-aware ORDER BY keys. A plain ``?var`` string column sorts
+    numerically first (literal value ``try_cast`` to double; non-numeric
+    terms group together on the null key) with the full encoded term as
+    a deterministic tiebreaker; numeric columns (aggregate results) and
+    numeric builtin expressions sort directly; string builtins /
+    accessors sort on their string value. Expression keys come from the
+    same operand compilers as FILTER/BIND — plain Column expressions,
+    sorted in one pass."""
     dtypes = dict(df.dtypes)
+    columns = set(df.columns)
     cols: list[Column] = []
-    for v, asc in order:
-        if v not in dtypes:
-            raise SparqlSyntaxError(f"ORDER BY of unbound ?{v}")
-        if dtypes[v] == "string":
-            num = term_value_col(F.col(v)).try_cast("double")
-            cols.append(num.asc_nulls_first() if asc else num.desc_nulls_last())
-        cols.append(F.col(v).asc() if asc else F.col(v).desc())
+    for node, asc in order:
+        if node[0] == "var":
+            v = node[1]
+            if v not in dtypes:
+                # never-bound variable: unbound in every solution, so
+                # all sort keys are equal — a no-op key (SPARQL)
+                continue
+            if dtypes[v] == "string":
+                num = term_value_col(F.col(v)).try_cast("double")
+                cols.append(
+                    num.asc_nulls_first() if asc else num.desc_nulls_last()
+                )
+            cols.append(F.col(v).asc() if asc else F.col(v).desc())
+            continue
+        if node[0] in ("nfunc", "mathfunc", "dtfunc", "num"):
+            key = _numeric_operand(node, columns)
+        elif node[0] in ("acc", "sxfunc", "hashfunc", "str"):
+            key = _string_operand(node, columns)
+        else:
+            key = _bind_value(node, columns)
+        cols.append(key.asc_nulls_first() if asc else key.desc_nulls_last())
     return cols
 
 
@@ -2329,6 +2371,7 @@ def _compile_select(
     df, nullable = _compile_group_nn(quads, q.group, dataset)
     df = _drop_blank_cols(df)
     out_null: set[str] = set()
+    deferred_proj: list[Column] | None = None
     if q.having and not (q.aggs or q.group_by):
         raise SparqlSyntaxError("HAVING needs GROUP BY or an aggregate")
     if q.select_binds and (q.aggs or q.group_by):
@@ -2396,7 +2439,15 @@ def _compile_select(
             F.col(v) if v in df.columns else F.lit(None).cast("string").alias(v)
             for v in q.proj_order
         ]
-        df = df.select(*cols)
+        if q.distinct:
+            # DISTINCT projects first (SPARQL: ORDER BY over the
+            # distinct projected solutions)
+            df = df.select(*cols)
+        else:
+            # defer the projection past ORDER BY so sort keys may
+            # reference non-projected variables (SPARQL sorts the
+            # solution sequence, then projects)
+            deferred_proj = cols
     elif "__exists__" in df.columns:
         df = df.select(F.col("__exists__").cast("string").alias("__exists__"))
     else:
@@ -2405,6 +2456,8 @@ def _compile_select(
         df = df.distinct()
     if q.order:
         df = df.orderBy(*_order_cols(df, q.order))
+    if deferred_proj is not None:
+        df = df.select(*deferred_proj)
     if q.offset is not None:
         df = df.offset(q.offset)
     if q.limit is not None:

@@ -1354,3 +1354,47 @@ def test_builtin_arity_errors(funcdata):
     ):
         with pytest.raises(SparqlSyntaxError):
             sparql_select(funcdata, bad)
+
+
+def test_order_by_expression_keys(funcdata, spark):
+    rows = [
+        ("<u:e1>", "<u:nm>", '"dd"', "g"),
+        ("<u:e2>", "<u:nm>", '"a"', "g"),
+        ("<u:e3>", "<u:nm>", '"ccc"', "g"),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string"
+    )
+    got = [
+        r.s
+        for r in sparql_select(
+            df, "SELECT ?s WHERE { ?s <u:nm> ?n } ORDER BY STRLEN(?n)"
+        ).collect()
+    ]
+    assert got == ["<u:e2>", "<u:e1>", "<u:e3>"]
+    got = [
+        r.s
+        for r in sparql_select(
+            df, "SELECT ?s WHERE { ?s <u:nm> ?n } ORDER BY DESC(STRLEN(?n)) LIMIT 2"
+        ).collect()
+    ]
+    assert got == ["<u:e3>", "<u:e1>"]
+
+
+def test_order_by_mixed_var_and_expression(spark):
+    rows = [
+        ("<u:p1>", "<u:v>", f'"-7"^^<{_XSD}integer>', "g"),
+        ("<u:p2>", "<u:v>", f'"3"^^<{_XSD}integer>', "g"),
+        ("<u:p3>", "<u:v>", f'"-3"^^<{_XSD}integer>', "g"),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string"
+    )
+    got = [
+        r.s
+        for r in sparql_select(
+            df, "SELECT ?s WHERE { ?s <u:v> ?n } ORDER BY ABS(?n) ?s"
+        ).collect()
+    ]
+    # |3| ties between p2 and p3 -> broken by ?s ascending
+    assert got == ["<u:p2>", "<u:p3>", "<u:p1>"]
