@@ -159,6 +159,16 @@ class LocalSparqlEndpoint:
         ]
         return {"head": {"vars": df.columns}, "results": {"bindings": bindings}}
 
+    def query_serialized(
+        self, sparql: str, accept: str = "application/sparql-results+json"
+    ) -> str:
+        """Answer a query and serialize per the ``Accept`` media type
+        (SPARQL-JSON/XML/CSV/TSV) — the full wire behavior an HTTP
+        front end needs, minus the socket."""
+        from ontograph_spark.query.results import serialize_results
+
+        return serialize_results(self.query(sparql), accept)
+
     def update(self, sparql: str) -> None:
         """Execute an update by dispatching to the graph's store operators.
         Template updates (``INSERT|DELETE { … } WHERE { … }``) solve the

@@ -379,3 +379,29 @@ def test_endpoint_result_serializes_end_to_end(spark):
         "text/tab-separated-values",
     ):
         assert serialize_results(res, mt)
+
+
+def test_endpoint_query_serialized(spark):
+    from ontograph_spark.query import LocalSparqlEndpoint
+    from ontograph_spark.store.memory import MemoryQuadStore
+    from ontograph_spark.ontology.resources import new_triple
+    from ontograph_spark.terms import mk_literal, mk_resource
+
+    ep = LocalSparqlEndpoint(spark, lambda uri: MemoryQuadStore(spark, uri))
+    c = ep.client("urn:ser")
+    c.add_triples(
+        [
+            new_triple(
+                mk_resource("urn:ser#e"),
+                mk_resource("urn:ser#n"),
+                mk_literal("v", "", ""),
+            )
+        ]
+    )
+    q = "SELECT ?o WHERE { <urn:ser#e> <urn:ser#n> ?o }"
+    assert ep.query_serialized(q).startswith('{"head"')
+    assert ep.query_serialized(q, "text/csv") == "o\r\nv\r\n"
+    assert ep.query_serialized(q, "text/tab-separated-values") == '?o\n"v"\n'
+    assert ep.query_serialized("ASK { ?s ?p ?o }", "text/csv") == (
+        "boolean\r\ntrue\r\n"
+    )
