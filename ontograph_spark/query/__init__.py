@@ -1,6 +1,7 @@
 """Distributed SPARQL answering over the quad table."""
 
 from ontograph_spark.query.endpoint import LocalSparqlEndpoint  # noqa: F401
+from ontograph_spark.query.http_server import SparqlHttpServer  # noqa: F401
 from ontograph_spark.query.results import (  # noqa: F401
     results_csv,
     results_json,

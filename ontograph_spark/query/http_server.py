@@ -1,0 +1,169 @@
+"""SPARQL 1.1 Protocol HTTP server over the in-process endpoint.
+
+The reference is a *client* of a SPARQL-over-HTTP server (Blazegraph —
+blazegraph_store.go POSTs form-encoded ``query``/``update`` and decodes
+SPARQL-JSON). This module is the server side for a Spark deployment:
+a stdlib ``ThreadingHTTPServer`` that answers the SPARQL 1.1 Protocol
+over :class:`~ontograph_spark.query.endpoint.LocalSparqlEndpoint`, so
+the reference-shaped client — or curl, or any SPARQL library — talks
+**real HTTP** to the engine:
+
+* ``GET  /sparql?query=…``                         (protocol §2.1.1)
+* ``POST /sparql`` form-encoded ``query=…``         (§2.1.2 — what the
+  reference's client and this repo's ``SparqlQuadStore`` send)
+* ``POST /sparql`` raw ``application/sparql-query``  (§2.1.3)
+* ``POST /sparql`` form-encoded ``update=…`` or raw
+  ``application/sparql-update``                     (§2.2.2/§2.2.3)
+
+Results honor the ``Accept`` header via
+:func:`~ontograph_spark.query.results.serialize_results` (JSON default;
+XML/CSV/TSV negotiated); parse errors are 400 with the message,
+unsupported Accept types 406. The server thread shares the driver's
+SparkSession — queries still execute distributed; only the protocol
+handling is driver-side, exactly like any SPARQL endpoint fronting a
+cluster engine.
+"""
+
+from __future__ import annotations
+
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from ontograph_spark.query.endpoint import LocalSparqlEndpoint
+from ontograph_spark.query.results import serialize_results
+from ontograph_spark.query.sparql import SparqlSyntaxError
+
+#: negotiated media type → response Content-Type (the +json alias
+#: normalizes to the canonical SPARQL results type)
+_MEDIA_TO_CTYPE = {
+    "application/sparql-results+json": "application/sparql-results+json",
+    "application/json": "application/sparql-results+json",
+    "application/sparql-results+xml": "application/sparql-results+xml",
+    "text/csv": "text/csv",
+    "text/tab-separated-values": "text/tab-separated-values",
+}
+
+
+def _pick_media(accept: str | None) -> str:
+    """First supported media type in the Accept list; JSON for absent
+    or wildcard Accept."""
+    if not accept:
+        return "application/sparql-results+json"
+    for part in accept.split(","):
+        mt = part.split(";")[0].strip().lower()
+        if mt in ("*/*", "application/*"):
+            return "application/sparql-results+json"
+        try:
+            serialize_results({"boolean": True}, mt)
+        except ValueError:
+            continue
+        return mt
+    raise ValueError(f"no supported media type in Accept: {accept}")
+
+
+class _Handler(BaseHTTPRequestHandler):
+    endpoint: LocalSparqlEndpoint  # set by server factory
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, *args) -> None:  # quiet test servers
+        pass
+
+    def _send(self, code: int, body: str, ctype: str) -> None:
+        data = body.encode()
+        self.send_response(code)
+        self.send_header("Content-Type", f"{ctype}; charset=utf-8")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _answer_query(self, query: str) -> None:
+        try:
+            media = _pick_media(self.headers.get("Accept"))
+        except ValueError as e:
+            self._send(406, str(e), "text/plain")
+            return
+        try:
+            result = self.endpoint.query(query)
+        except SparqlSyntaxError as e:
+            self._send(400, str(e), "text/plain")
+            return
+        self._send(200, serialize_results(result, media), _MEDIA_TO_CTYPE[media])
+
+    def _answer_update(self, update: str) -> None:
+        try:
+            self.endpoint.update(update)
+        except SparqlSyntaxError as e:
+            self._send(400, str(e), "text/plain")
+            return
+        self.send_response(204)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
+    def do_GET(self) -> None:  # noqa: N802 (stdlib naming)
+        parsed = urllib.parse.urlparse(self.path)
+        params = urllib.parse.parse_qs(parsed.query)
+        if "query" in params:
+            self._answer_query(params["query"][0])
+        else:
+            self._send(400, "missing query parameter", "text/plain")
+
+    def do_POST(self) -> None:  # noqa: N802
+        length = int(self.headers.get("Content-Length", "0"))
+        body = self.rfile.read(length).decode()
+        ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
+        if ctype == "application/sparql-query":
+            self._answer_query(body)
+            return
+        if ctype == "application/sparql-update":
+            self._answer_update(body)
+            return
+        params = urllib.parse.parse_qs(body)
+        if "query" in params:
+            self._answer_query(params["query"][0])
+        elif "update" in params:
+            self._answer_update(params["update"][0])
+        else:
+            self._send(400, "missing query/update parameter", "text/plain")
+
+
+class SparqlHttpServer:
+    """A live SPARQL-over-HTTP service for a LocalSparqlEndpoint.
+
+    >>> srv = SparqlHttpServer(endpoint).start()
+    >>> client = SparqlQuadStore("https://g", srv.url)  # real HTTP
+    >>> ...
+    >>> srv.stop()
+
+    ``port=0`` (default) binds an ephemeral port; ``url`` is the
+    endpoint address after :meth:`start`. The handler thread pool is
+    stdlib ``ThreadingHTTPServer`` — fine for the protocol role; the
+    data plane stays in Spark."""
+
+    def __init__(
+        self,
+        endpoint: LocalSparqlEndpoint,
+        host: str = "127.0.0.1",
+        port: int = 0,
+    ) -> None:
+        handler = type("_BoundHandler", (_Handler,), {"endpoint": endpoint})
+        self._httpd = ThreadingHTTPServer((host, port), handler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def url(self) -> str:
+        host, port = self._httpd.server_address[:2]
+        return f"http://{host}:{port}/sparql"
+
+    def start(self) -> "SparqlHttpServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)

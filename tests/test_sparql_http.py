@@ -1,0 +1,139 @@
+"""Real-HTTP SPARQL protocol integration (query/http_server.py).
+
+The round-2 transport tests replayed canned wire responses
+(tests/test_sparql_replay.py); here the reference-shaped client
+(`SparqlQuadStore`, urllib POST + SPARQL-JSON decode — the Go client's
+exact protocol, blazegraph_store.go) talks to a LIVE stdlib HTTP server
+fronting the distributed engine: sockets, form encoding, content
+negotiation, status codes — the full stack the docker-compose
+Blazegraph suite exercises in the reference, with the engine itself in
+the Blazegraph role.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from ontograph_spark.ontology.resources import Triple, new_triple
+from ontograph_spark.query import LocalSparqlEndpoint, SparqlHttpServer
+from ontograph_spark.store.sparql_store import SparqlQuadStore
+from ontograph_spark.store.memory import MemoryQuadStore
+from ontograph_spark.terms import mk_literal, mk_resource
+
+U = "https://g.example/http-graph"
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    ep = LocalSparqlEndpoint(spark, lambda uri: MemoryQuadStore(spark, uri))
+    srv = SparqlHttpServer(ep).start()
+    yield srv
+    srv.stop()
+
+
+@pytest.fixture()
+def client(server) -> SparqlQuadStore:
+    return SparqlQuadStore(U, server.url)
+
+
+def _t(n: int) -> Triple:
+    return new_triple(
+        mk_resource(f"{U}#e{n}"),
+        mk_resource(f"{U}#rel"),
+        mk_literal(f"v{n}", "", ""),
+    )
+
+
+def test_operator_matrix_over_real_http(client):
+    # add (checked), size, match, ask-existence, delete — the client's
+    # whole day-to-day surface over live sockets
+    client.add_triples([_t(1), _t(2), _t(3)])
+    assert client.size() == 3
+    rows = client.get_all_matches("", mk_resource(f"{U}#rel"), "")
+    assert len(rows) == 3
+    first = client.get_first_match(mk_resource(f"{U}#e1"), "", "")
+    assert first is not None and first.object == '"v1"'
+    client.delete_triple(_t(2))
+    assert client.size() == 2
+    client.delete_all_matches("", "", "")
+    assert client.size() == 0
+
+
+def test_checked_add_conflict_over_http(client):
+    from ontograph_spark.errors import TripleAlreadyExistsError
+
+    client.add_triple(_t(7))
+    with pytest.raises(TripleAlreadyExistsError):
+        client.add_triple(_t(7))
+    client.delete_all_matches("", "", "")
+
+
+def test_get_vs_post_and_accept_negotiation(server, client):
+    client.add_triple(_t(9))
+    q = f"SELECT ?o WHERE {{ GRAPH <{U}> {{ <{U}#e9> <{U}#rel> ?o }} }}"
+    # GET with query param, JSON default
+    url = f"{server.url}?query={urllib.request.quote(q)}"
+    with urllib.request.urlopen(url) as resp:
+        assert resp.headers["Content-Type"].startswith(
+            "application/sparql-results+json"
+        )
+        doc = json.loads(resp.read().decode())
+    assert doc["results"]["bindings"][0]["o"]["value"] == "v9"
+    # Accept: CSV
+    req = urllib.request.Request(url, headers={"Accept": "text/csv"})
+    with urllib.request.urlopen(req) as resp:
+        assert resp.read().decode() == "o\r\nv9\r\n"
+    # Accept: TSV via POST raw sparql-query body
+    req = urllib.request.Request(
+        server.url,
+        data=q.encode(),
+        headers={
+            "Content-Type": "application/sparql-query",
+            "Accept": "text/tab-separated-values",
+        },
+    )
+    with urllib.request.urlopen(req) as resp:
+        assert resp.read().decode() == '?o\n"v9"\n'
+    client.delete_all_matches("", "", "")
+
+
+def test_http_error_codes(server):
+    # 400 on a parse error
+    bad = f"{server.url}?query={urllib.request.quote('SELECT WHERE}{')}"
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(bad)
+    assert e.value.code == 400
+    # 406 on an unsupported Accept type
+    ok = f"{server.url}?query={urllib.request.quote('ASK { ?s ?p ?o }')}"
+    req = urllib.request.Request(ok, headers={"Accept": "application/rdf+xml"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 406
+    # 400 on a body with neither query nor update
+    req = urllib.request.Request(
+        server.url,
+        data=b"nope=1",
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
+
+
+def test_raw_update_content_type(server, client):
+    update = (
+        f"INSERT DATA {{ GRAPH <{U}> {{ <{U}#u1> <{U}#rel> \"via-raw\" }} }}"
+    )
+    req = urllib.request.Request(
+        server.url,
+        data=update.encode(),
+        headers={"Content-Type": "application/sparql-update"},
+    )
+    with urllib.request.urlopen(req) as resp:
+        assert resp.status == 204
+    assert client.size() == 1
+    client.delete_all_matches("", "", "")
