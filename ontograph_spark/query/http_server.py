@@ -26,8 +26,10 @@ cluster engine.
 
 from __future__ import annotations
 
+import re
 import threading
 import urllib.parse
+from collections.abc import Callable
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from ontograph_spark.query.endpoint import LocalSparqlEndpoint
@@ -64,6 +66,7 @@ def _pick_media(accept: str | None) -> str:
 
 class _Handler(BaseHTTPRequestHandler):
     endpoint: LocalSparqlEndpoint  # set by server factory
+    server_ref: "SparqlHttpServer"  # set by server factory
     protocol_version = "HTTP/1.1"
 
     def log_message(self, *args) -> None:  # quiet test servers
@@ -77,22 +80,22 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(data)
 
-    def _answer_query(self, query: str) -> None:
+    def _answer_query(self, ep: LocalSparqlEndpoint, query: str) -> None:
         try:
             media = _pick_media(self.headers.get("Accept"))
         except ValueError as e:
             self._send(406, str(e), "text/plain")
             return
         try:
-            result = self.endpoint.query(query)
+            result = ep.query(query)
         except SparqlSyntaxError as e:
             self._send(400, str(e), "text/plain")
             return
         self._send(200, serialize_results(result, media), _MEDIA_TO_CTYPE[media])
 
-    def _answer_update(self, update: str) -> None:
+    def _answer_update(self, ep: LocalSparqlEndpoint, update: str) -> None:
         try:
-            self.endpoint.update(update)
+            ep.update(update)
         except SparqlSyntaxError as e:
             self._send(400, str(e), "text/plain")
             return
@@ -100,31 +103,95 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("Content-Length", "0")
         self.end_headers()
 
+    def _route(self, path: str) -> LocalSparqlEndpoint | None:
+        """``/sparql`` → the default endpoint;
+        ``/bigdata/namespace/<id>/sparql`` → that namespace's endpoint
+        (Blazegraph's URL scheme, blazegraph_endpoint.go:28-36)."""
+        if path == "/sparql":
+            return self.endpoint
+        m = re.fullmatch(r"/bigdata/namespace/([^/]+)/sparql", path)
+        if m:
+            return self.server_ref.namespaces.get(
+                urllib.parse.unquote(m.group(1))
+            )
+        return None
+
     def do_GET(self) -> None:  # noqa: N802 (stdlib naming)
         parsed = urllib.parse.urlparse(self.path)
+        if parsed.path == "/bigdata/status":
+            self._send(200, "Running", "text/plain")
+            return
+        if parsed.path == "/bigdata/namespace":
+            # the admin client greps sparql URLs out of the describe
+            # document (sparql_store.py:get_namespaces) — emit one line
+            # per namespace in Blazegraph's URL shape
+            body = "\n".join(
+                f"/bigdata/namespace/{urllib.parse.quote(ns)}/sparql"
+                for ns in sorted(self.server_ref.namespaces)
+            )
+            self._send(200, body, "text/plain")
+            return
+        ep = self._route(parsed.path)
+        if ep is None:
+            self._send(404, f"no such endpoint: {parsed.path}", "text/plain")
+            return
         params = urllib.parse.parse_qs(parsed.query)
         if "query" in params:
-            self._answer_query(params["query"][0])
+            self._answer_query(ep, params["query"][0])
         else:
             self._send(400, "missing query parameter", "text/plain")
 
     def do_POST(self) -> None:  # noqa: N802
+        parsed = urllib.parse.urlparse(self.path)
         length = int(self.headers.get("Content-Length", "0"))
         body = self.rfile.read(length).decode()
+        if parsed.path == "/bigdata/namespace":
+            m = re.search(
+                r"com\.bigdata\.rdf\.sail\.namespace=(\S+)", body
+            )
+            if not m:
+                self._send(400, "missing namespace property", "text/plain")
+                return
+            ns = m.group(1)
+            if ns in self.server_ref.namespaces:
+                self._send(409, f"namespace exists: {ns}", "text/plain")
+                return
+            self.server_ref.namespaces[ns] = self.server_ref.namespace_factory(ns)
+            self._send(201, "CREATED", "text/plain")
+            return
+        ep = self._route(parsed.path)
+        if ep is None:
+            self._send(404, f"no such endpoint: {parsed.path}", "text/plain")
+            return
         ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
         if ctype == "application/sparql-query":
-            self._answer_query(body)
+            self._answer_query(ep, body)
             return
         if ctype == "application/sparql-update":
-            self._answer_update(body)
+            self._answer_update(ep, body)
             return
         params = urllib.parse.parse_qs(body)
         if "query" in params:
-            self._answer_query(params["query"][0])
+            self._answer_query(ep, params["query"][0])
         elif "update" in params:
-            self._answer_update(params["update"][0])
+            self._answer_update(ep, params["update"][0])
         else:
             self._send(400, "missing query/update parameter", "text/plain")
+
+    def do_DELETE(self) -> None:  # noqa: N802
+        m = re.fullmatch(
+            r"/bigdata/namespace/([^/]+)",
+            urllib.parse.urlparse(self.path).path,
+        )
+        if m:
+            # idempotent like Blazegraph (the reference treats missing
+            # as success, blazegraph_endpoint.go:119-139)
+            self.server_ref.namespaces.pop(
+                urllib.parse.unquote(m.group(1)), None
+            )
+            self._send(200, "DELETED", "text/plain")
+            return
+        self._send(404, "not found", "text/plain")
 
 
 class SparqlHttpServer:
@@ -145,8 +212,23 @@ class SparqlHttpServer:
         endpoint: LocalSparqlEndpoint,
         host: str = "127.0.0.1",
         port: int = 0,
+        namespace_factory: "Callable[[str], LocalSparqlEndpoint] | None" = None,
     ) -> None:
-        handler = type("_BoundHandler", (_Handler,), {"endpoint": endpoint})
+        #: Blazegraph-REST namespace emulation: with a factory, the
+        #: server also answers /bigdata/status, namespace CRUD and
+        #: /bigdata/namespace/<id>/sparql — the admin surface the
+        #: reference's endpoint client drives (blazegraph_endpoint.go).
+        self.namespaces: dict[str, LocalSparqlEndpoint] = {}
+        self.namespace_factory = namespace_factory or (
+            lambda ns: (_ for _ in ()).throw(
+                RuntimeError("no namespace_factory configured")
+            )
+        )
+        handler = type(
+            "_BoundHandler",
+            (_Handler,),
+            {"endpoint": endpoint, "server_ref": self},
+        )
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self._thread: threading.Thread | None = None
 

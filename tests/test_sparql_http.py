@@ -137,3 +137,36 @@ def test_raw_update_content_type(server, client):
         assert resp.status == 204
     assert client.size() == 1
     client.delete_all_matches("", "", "")
+
+
+def test_admin_client_over_real_http(spark):
+    """The reference's endpoint-admin surface (SparqlEndpoint: status,
+    namespace CRUD, graph listing — blazegraph_endpoint.go) against the
+    live server's Blazegraph-REST emulation."""
+    from ontograph_spark.store.sparql_store import SparqlEndpoint
+
+    ep = LocalSparqlEndpoint(spark, lambda uri: MemoryQuadStore(spark, uri))
+    srv = SparqlHttpServer(
+        ep,
+        namespace_factory=lambda ns: LocalSparqlEndpoint(
+            spark, lambda uri: MemoryQuadStore(spark, uri)
+        ),
+    ).start()
+    try:
+        host = srv.url[: -len("/sparql")]
+        admin = SparqlEndpoint(host)
+        assert admin.is_online()
+        assert admin.get_namespaces() == []
+        admin.create_namespace("kb")
+        assert admin.namespace_exists("kb")
+        with pytest.raises(RuntimeError):
+            admin.create_namespace("kb")  # 409 on duplicate
+        store = admin.store(U, "kb")
+        store.add_triples([_t(1), _t(2)])
+        assert store.size() == 2
+        assert admin.get_graphs("kb") == [U]
+        admin.drop_namespace("kb")
+        admin.drop_namespace("kb")  # idempotent
+        assert not admin.namespace_exists("kb")
+    finally:
+        srv.stop()
