@@ -89,6 +89,12 @@ tests/test_sparql_query.py alongside the repo's own
 * ``VALUES ?v { … }`` / ``VALUES (?a ?b) { (… …) … }`` inline data,
   with ``UNDEF`` as an unbound cell — compiled to a (broadcastable)
   literal DataFrame joined into the group;
+* ``SERVICE [SILENT] <endpoint> { … }`` federation (SPARQL 1.1
+  Federated Query): the body — a plain triple block, optionally under
+  ``GRAPH <uri>`` — ships to the remote endpoint over the reference
+  client's wire protocol and the bindings join back in like inline
+  data (query/federation.py); SILENT turns endpoint failure into the
+  empty join identity;
 * ``ORDER BY [ASC|DESC](?v | expr) …``, ``LIMIT``, ``OFFSET``;
   ``?var`` keys are value-aware: bindings that parse as numbers order
   numerically first, with the full encoded term as a deterministic
@@ -278,6 +284,9 @@ class Group:
     #: nested ``{ SELECT … }`` subqueries (SPARQL 1.1 §12) — evaluated
     #: bottom-up and joined into the group on their projected variables
     subqueries: list["Query"] = field(default_factory=list)
+    #: SERVICE blocks (SPARQL 1.1 Federation): (endpoint IRI, body,
+    #: silent) — evaluated on the remote endpoint, joined as bindings
+    services: list[tuple[str, "Group", bool]] = field(default_factory=list)
 
     def is_plain_triples(self) -> bool:
         """True when the group is a bare triple block (CONSTRUCT
@@ -291,6 +300,7 @@ class Group:
             or self.minuses
             or self.values
             or self.subqueries
+            or self.services
         )
 
 
@@ -886,6 +896,20 @@ class _Parser:
             elif self.at_kw("VALUES"):
                 self.next()
                 g.values.append(self._parse_values())
+            elif self.at_kw("SERVICE"):
+                self.next()
+                silent = False
+                if self.at_kw("SILENT"):
+                    self.next()
+                    silent = True
+                slot = self.parse_slot()
+                if slot[0] != "term" or not slot[1].startswith("<"):
+                    raise SparqlSyntaxError(
+                        "SERVICE needs a constant endpoint IRI"
+                    )
+                # the body runs on the REMOTE dataset — never scoped by
+                # the local GRAPH context
+                g.services.append((slot[1][1:-1], self.parse_group(), silent))
             elif self.at_kw("OPTIONAL"):
                 self.next()
                 g.optionals.append(self.parse_group(graph=graph))
@@ -991,6 +1015,7 @@ class _Parser:
         g.minuses.extend(inner.minuses)
         g.values.extend(inner.values)
         g.subqueries.extend(inner.subqueries)
+        g.services.extend(inner.services)
 
     def _parse_triples_block(self, g: Group, graph: Slot | None) -> None:
         subj = self.parse_slot()
@@ -1182,6 +1207,20 @@ class _Parser:
                 raise SparqlSyntaxError("BOUND needs a ?var")
             self.expect_op(")")
             return ("bound", text[1:])
+        if self.at_kw("LANGMATCHES"):
+            self.next()
+            args = self._parse_call_args()
+            if len(args) != 2 or args[1][0] != "str":
+                raise SparqlSyntaxError(
+                    'LANGMATCHES takes (expr, "range")'
+                )
+            return ("langmatches", args[0], args[1][1])
+        if self.at_kw("SAMETERM"):
+            self.next()
+            args = self._parse_call_args()
+            if len(args) != 2:
+                raise SparqlSyntaxError("sameTerm takes 2 args")
+            return ("sameterm", args[0], args[1])
         if self.at_kw("REGEX", "STRSTARTS", "STRENDS", "CONTAINS"):
             name = self.next()[1].upper()
             args = self._parse_call_args()
@@ -1688,6 +1727,17 @@ def _compile_expr(node, columns: set[str]) -> Column:
         raise SparqlSyntaxError(
             "aggregate calls are only valid inside HAVING constraints"
         )
+    if kind == "langmatches":
+        # RFC 4647 basic filtering: "*" matches any non-empty tag,
+        # else case-insensitive exact or prefix-with-"-" match
+        tag = F.lower(_string_operand(node[1], columns))
+        rng = node[2].lower()
+        if rng == "*":
+            return tag != F.lit("")
+        return (tag == F.lit(rng)) | tag.startswith(rng + "-")
+    if kind == "sameterm":
+        # term identity: exact encoded-term equality (SPARQL §17.4.1.8)
+        return _bind_value(node[1], columns) == _bind_value(node[2], columns)
     if kind == "sfunc":
         name, args = node[1], node[2]
         subject = _string_operand(args[0], columns)
@@ -2134,6 +2184,31 @@ def _compile_group_nn(
             vdf
             if df is None
             else _join_shared(df, vdf, lnull=nullable, rnull=vnull)
+        )
+    for endpoint_url, sgroup, silent in g.services:
+        # SPARQL 1.1 Federation: the body evaluates on the remote
+        # endpoint; its bindings join here like inline data (remote
+        # result sets are broadcast-sized by construction)
+        from ontograph_spark.query.federation import service_solutions
+
+        spark = quads.sparkSession
+        res = service_solutions(spark, endpoint_url, sgroup, silent)
+        if res is None:
+            continue  # SILENT failure / satisfied ASK ⇒ join identity
+        rows, names, snull = res
+        if not names:
+            # all-constant pattern the endpoint denies ⇒ no solutions
+            empty = quads.select(F.lit(True).alias("__exists__")).limit(0)
+            df = empty if df is None else df.limit(0)
+            continue
+        sdf = spark.createDataFrame(
+            rows, ", ".join(f"{n} string" for n in names)
+        )
+        nullable |= snull
+        df = (
+            sdf
+            if df is None
+            else _join_shared(df, sdf, lnull=nullable, rnull=snull)
         )
     for branches in g.unions:
         compiled_b = [_compile_group_nn(quads, b, dataset) for b in branches]

@@ -1398,3 +1398,49 @@ def test_order_by_mixed_var_and_expression(spark):
     ]
     # |3| ties between p2 and p3 -> broken by ?s ascending
     assert got == ["<u:p2>", "<u:p3>", "<u:p1>"]
+
+
+def test_langmatches_and_sameterm(spark):
+    rows = [
+        ("<u:1>", "<u:say>", '"hello"@en', "g"),
+        ("<u:2>", "<u:say>", '"howdy"@en-US', "g"),
+        ("<u:3>", "<u:say>", '"bonjour"@fr', "g"),
+        ("<u:4>", "<u:say>", '"plain"', "g"),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string"
+    )
+    got = {
+        r.s
+        for r in sparql_select(
+            df,
+            'SELECT ?s WHERE { ?s <u:say> ?v . '
+            'FILTER(LANGMATCHES(LANG(?v), "en")) }',
+        ).collect()
+    }
+    assert got == {"<u:1>", "<u:2>"}
+    got = {
+        r.s
+        for r in sparql_select(
+            df,
+            'SELECT ?s WHERE { ?s <u:say> ?v . '
+            'FILTER(LANGMATCHES(LANG(?v), "*")) }',
+        ).collect()
+    }
+    assert got == {"<u:1>", "<u:2>", "<u:3>"}  # plain literal has no tag
+    got = {
+        r.s
+        for r in sparql_select(
+            df,
+            "SELECT ?s WHERE { ?s <u:say> ?v . "
+            "FILTER(sameTerm(?v, \"hello\"@en)) }",
+        ).collect()
+    }
+    assert got == {"<u:1>"}
+    # sameTerm is identity, not value equality: the plain "plain" does
+    # not equal a datatyped copy of itself
+    assert not sparql_select(
+        df,
+        "SELECT ?s WHERE { ?s <u:say> ?v . FILTER(sameTerm(?v, "
+        '"plain"^^<http://www.w3.org/2001/XMLSchema#token>)) }',
+    ).count()

@@ -170,3 +170,79 @@ def test_admin_client_over_real_http(spark):
         assert not admin.namespace_exists("kb")
     finally:
         srv.stop()
+
+
+def test_service_federation_joins_remote_bindings(spark, server, client):
+    """SPARQL 1.1 SERVICE: a local query joins bindings fetched from a
+    live remote endpoint — the engine federating with itself over HTTP."""
+    from ontograph_spark.query import sparql_select
+
+    # remote side: label triples on the live server
+    client.add_triples(
+        [
+            new_triple(
+                mk_resource(f"{U}#e1"),
+                mk_resource(f"{U}#label"),
+                mk_literal("Remote One", "", ""),
+            ),
+            new_triple(
+                mk_resource(f"{U}#e2"),
+                mk_resource(f"{U}#label"),
+                mk_literal("Remote Two", "", ""),
+            ),
+        ]
+    )
+    # local side: a quad table knowing which entities are active
+    local = spark.createDataFrame(
+        [
+            (f"<{U}#e1>", f"<{U}#status>", '"active"', "g"),
+            (f"<{U}#e3>", f"<{U}#status>", '"active"', "g"),
+        ],
+        "subj string, pred string, obj string, graph string",
+    )
+    q = (
+        f"SELECT ?e ?l WHERE {{ ?e <{U}#status> \"active\" . "
+        f"SERVICE <{server.url}> {{ GRAPH <{U}> {{ "
+        f"?e <{U}#label> ?l }} }} }}"
+    )
+    rows = {tuple(r) for r in sparql_select(local, q).collect()}
+    assert rows == {(f"<{U}#e1>", '"Remote One"')}
+    client.delete_all_matches("", "", "")
+
+
+def test_service_silent_swallows_dead_endpoint(spark):
+    from ontograph_spark.query import sparql_select
+    from ontograph_spark.query.sparql import SparqlSyntaxError
+
+    local = spark.createDataFrame(
+        [("<u:a>", "<u:p>", '"x"', "g")],
+        "subj string, pred string, obj string, graph string",
+    )
+    dead = "http://127.0.0.1:9/sparql"  # discard port: always refused
+    q_silent = (
+        "SELECT ?s WHERE { ?s <u:p> ?o . "
+        f"SERVICE SILENT <{dead}> {{ ?s <u:q> ?z }} }}"
+    )
+    assert [r.s for r in sparql_select(local, q_silent).collect()] == ["<u:a>"]
+    q_loud = (
+        "SELECT ?s WHERE { ?s <u:p> ?o . "
+        f"SERVICE <{dead}> {{ ?s <u:q> ?z }} }}"
+    )
+    with pytest.raises(SparqlSyntaxError, match="SERVICE"):
+        sparql_select(local, q_loud).collect()
+
+
+def test_service_body_restriction_raises(spark):
+    from ontograph_spark.query import sparql_select
+    from ontograph_spark.query.sparql import SparqlSyntaxError
+
+    local = spark.createDataFrame(
+        [("<u:a>", "<u:p>", '"x"', "g")],
+        "subj string, pred string, obj string, graph string",
+    )
+    with pytest.raises(SparqlSyntaxError, match="SERVICE bodies"):
+        sparql_select(
+            local,
+            "SELECT ?s WHERE { SERVICE <http://x/sparql> { "
+            "?s <u:q> ?z . FILTER(?z > 3) } }",
+        ).collect()
