@@ -15,6 +15,12 @@ the reference-shaped client — or curl, or any SPARQL library — talks
 * ``POST /sparql`` form-encoded ``update=…`` or raw
   ``application/sparql-update``                     (§2.2.2/§2.2.3)
 
+Plus the SPARQL 1.1 Graph Store HTTP Protocol at ``/gsp?graph=<uri>``:
+``GET`` serializes the graph as N-Triples, ``PUT`` replaces it from an
+N-Triples payload (201 on create, 200 on replace), ``POST`` merges,
+``DELETE`` drops — the bulk load/export surface every triple store
+ships next to its query endpoint.
+
 Results honor the ``Accept`` header via
 :func:`~ontograph_spark.query.results.serialize_results` (JSON default;
 XML/CSV/TSV negotiated); parse errors are 400 with the message,
@@ -116,8 +122,76 @@ class _Handler(BaseHTTPRequestHandler):
             )
         return None
 
+    # -- SPARQL 1.1 Graph Store HTTP Protocol (/gsp?graph=<uri>) -------
+
+    def _gsp_graph(self, parsed) -> str | None:
+        params = urllib.parse.parse_qs(parsed.query)
+        vals = params.get("graph")
+        return vals[0] if vals else None
+
+    def _gsp_get(self, graph: str) -> None:
+        ep = self.endpoint
+        if graph not in ep._stores:
+            self._send(404, f"no such graph: {graph}", "text/plain")
+            return
+        lines = "".join(
+            f"{t.subject} {t.predicate} {t.object} .\n"
+            for t in ep.store_for(graph).get_all_triples()
+        )
+        self._send(200, lines, "application/n-triples")
+
+    def _gsp_parse_payload(self, body: str):
+        """N-Triples payload → Triple list via the SPARQL triple-block
+        grammar (N-Triples is a subset; blank nodes unsupported, as
+        everywhere in this engine)."""
+        from ontograph_spark.ontology.resources import Triple
+        from ontograph_spark.query.sparql import parse_group_text
+
+        group = parse_group_text("{ " + body + " }")
+        if not group.is_plain_triples():
+            raise SparqlSyntaxError("payload must be plain triples")
+        out = []
+        for pat in group.patterns:
+            for kind, _ in (pat.s, pat.p, pat.o):
+                if kind != "term":
+                    raise SparqlSyntaxError("payload cannot contain variables")
+            out.append(Triple(pat.s[1], pat.p[1], pat.o[1]))
+        return out
+
+    def _gsp_write(self, graph: str, body: str, replace: bool) -> None:
+        try:
+            triples = self._gsp_parse_payload(body) if body.strip() else []
+        except SparqlSyntaxError as e:
+            self._send(400, str(e), "text/plain")
+            return
+        ep = self.endpoint
+        existed = graph in ep._stores
+        store = ep.store_for(graph)
+        if replace and existed:
+            store.delete_all_matches("", "", "")
+        if triples:
+            store.add_triples_unchecked(triples)
+        code = 200 if existed else 201
+        self._send(code, "", "text/plain")
+
+    def _gsp_delete(self, graph: str) -> None:
+        ep = self.endpoint
+        if graph not in ep._stores:
+            self._send(404, f"no such graph: {graph}", "text/plain")
+            return
+        ep.store_for(graph).drop()
+        del ep._stores[graph]
+        self._send(200, "", "text/plain")
+
     def do_GET(self) -> None:  # noqa: N802 (stdlib naming)
         parsed = urllib.parse.urlparse(self.path)
+        if parsed.path == "/gsp":
+            graph = self._gsp_graph(parsed)
+            if graph is None:
+                self._send(400, "missing graph parameter", "text/plain")
+            else:
+                self._gsp_get(graph)
+            return
         if parsed.path == "/bigdata/status":
             self._send(200, "Running", "text/plain")
             return
@@ -141,10 +215,30 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._send(400, "missing query parameter", "text/plain")
 
+    def do_PUT(self) -> None:  # noqa: N802
+        parsed = urllib.parse.urlparse(self.path)
+        length = int(self.headers.get("Content-Length", "0"))
+        body = self.rfile.read(length).decode()
+        if parsed.path == "/gsp":
+            graph = self._gsp_graph(parsed)
+            if graph is None:
+                self._send(400, "missing graph parameter", "text/plain")
+            else:
+                self._gsp_write(graph, body, replace=True)
+            return
+        self._send(404, "not found", "text/plain")
+
     def do_POST(self) -> None:  # noqa: N802
         parsed = urllib.parse.urlparse(self.path)
         length = int(self.headers.get("Content-Length", "0"))
         body = self.rfile.read(length).decode()
+        if parsed.path == "/gsp":
+            graph = self._gsp_graph(parsed)
+            if graph is None:
+                self._send(400, "missing graph parameter", "text/plain")
+            else:
+                self._gsp_write(graph, body, replace=False)
+            return
         if parsed.path == "/bigdata/namespace":
             m = re.search(
                 r"com\.bigdata\.rdf\.sail\.namespace=(\S+)", body
@@ -179,6 +273,14 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(400, "missing query/update parameter", "text/plain")
 
     def do_DELETE(self) -> None:  # noqa: N802
+        parsed = urllib.parse.urlparse(self.path)
+        if parsed.path == "/gsp":
+            graph = self._gsp_graph(parsed)
+            if graph is None:
+                self._send(400, "missing graph parameter", "text/plain")
+            else:
+                self._gsp_delete(graph)
+            return
         m = re.fullmatch(
             r"/bigdata/namespace/([^/]+)",
             urllib.parse.urlparse(self.path).path,

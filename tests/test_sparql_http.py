@@ -246,3 +246,40 @@ def test_service_body_restriction_raises(spark):
             "SELECT ?s WHERE { SERVICE <http://x/sparql> { "
             "?s <u:q> ?z . FILTER(?z > 3) } }",
         ).collect()
+
+
+def test_graph_store_protocol_lifecycle(server):
+    """SPARQL 1.1 Graph Store Protocol: PUT (create/replace) -> GET
+    (N-Triples export) -> POST (merge) -> DELETE over live HTTP."""
+    g = "https://g.example/gsp-graph"
+    gsp = server.url.replace("/sparql", "/gsp") + "?graph=" + urllib.request.quote(g, safe="")
+
+    def call(method, data=None):
+        req = urllib.request.Request(gsp, data=data, method=method)
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, resp.read().decode()
+        except urllib.error.HTTPError as e:
+            return e.code, e.read().decode()
+
+    nt = f'<{g}#a> <{g}#p> "one" .\n<{g}#b> <{g}#p> "two" .\n'
+    code, _ = call("PUT", nt.encode())
+    assert code == 201  # created
+    code, body = call("GET")
+    assert code == 200
+    assert sorted(body.strip().splitlines()) == sorted(nt.strip().splitlines())
+    # POST merges (duplicate rows stay set-semantic)
+    code, _ = call("POST", f'<{g}#c> <{g}#p> "three" .\n'.encode())
+    assert code == 200
+    _, body = call("GET")
+    assert len(body.strip().splitlines()) == 3
+    # PUT replaces
+    code, _ = call("PUT", f'<{g}#only> <{g}#p> "solo" .\n'.encode())
+    assert code == 200
+    _, body = call("GET")
+    assert body.strip() == f'<{g}#only> <{g}#p> "solo" .'
+    # DELETE then 404
+    assert call("DELETE")[0] == 200
+    assert call("GET")[0] == 404
+    # bad payload -> 400
+    assert call("PUT", b"not triples at all }{")[0] == 400
