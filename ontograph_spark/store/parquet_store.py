@@ -297,3 +297,47 @@ class ParquetQuadStore(QuadStoreBase):
                 with open(os.path.join(snap_root, n)) as f:
                     out.append(json.load(f))
         return out
+
+    def snapshots(self) -> list[str]:
+        """Retained snapshot names, oldest first (directories still on
+        disk; :meth:`expire_snapshots` garbage-collects a snapshot's
+        data and manifest together)."""
+        snap_root = os.path.join(self.root, SNAPSHOT_DIR)
+        if not os.path.isdir(snap_root):
+            return []
+        return sorted(
+            n
+            for n in os.listdir(snap_root)
+            if n.startswith("v") and os.path.isdir(os.path.join(snap_root, n))
+        )
+
+    def df_at(self, snapshot: str) -> DataFrame:
+        """Time-travel read: the quad table as of a retained snapshot —
+        the Iceberg ``VERSION AS OF`` analogue the snapshot log exists
+        for. Returns the same pushdown-friendly scan as the live
+        :meth:`df`; raises ``ValueError`` for an unknown or expired
+        snapshot (run within the expiry window, like any time travel)."""
+        path = self._snapshot_path(snapshot)
+        if not os.path.isdir(path):
+            raise ValueError(
+                f"unknown or expired snapshot {snapshot!r}; retained: "
+                f"{self.snapshots()}"
+            )
+        return self._read_snapshot(path)
+
+    def diff(self, old: str, new: str | None = None) -> DataFrame:
+        """Row-level change set between two snapshots: the quad rows
+        plus a ``change`` column (``added`` / ``removed``). ``new``
+        defaults to the live snapshot. Two pushdown scans + one
+        left-anti each way — the CDC read pattern an incremental
+        downstream (index refresh, closure maintenance) consumes."""
+        cols = ["subj", "pred", "obj", "graph"]
+        old_df = self.df_at(old)
+        new_df = self.df_at(new) if new else self._df()
+        added = new_df.join(old_df, cols, "left_anti").withColumn(
+            "change", F.lit("added")
+        )
+        removed = old_df.join(new_df, cols, "left_anti").withColumn(
+            "change", F.lit("removed")
+        )
+        return added.unionByName(removed)

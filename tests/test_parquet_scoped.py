@@ -146,3 +146,44 @@ def test_graph_scan_prunes_partitions(spark, store):
     assert "graph" in plan  # partition filter present
     rows = store.df().count()
     assert rows == 40
+
+
+def test_time_travel_and_diff(spark, tmp_path):
+    """df_at reads a retained snapshot as-of commit time; diff yields
+    the row-level change set (the CDC pattern); expiry invalidates
+    time travel but keeps history manifests."""
+    from ontograph_spark.ontology.resources import new_triple
+    from ontograph_spark.store import ParquetQuadStore
+    from ontograph_spark.terms import mk_literal, mk_resource
+
+    g = "https://g.example/tt"
+    s = ParquetQuadStore(spark, g, str(tmp_path / "q"), write_partitions=2)
+
+    def t(n):
+        return new_triple(
+            mk_resource(f"{g}#e{n}"), mk_resource(f"{g}#p"), mk_literal(str(n), "", "")
+        )
+
+    s.add_triples([t(1), t(2)])
+    v1 = s.current_snapshot()
+    s.add_triple(t(3))
+    s.delete_triple(t(1))
+    v3 = s.current_snapshot()
+    assert v1 != v3 and v1 in s.snapshots()
+    # as-of read sees the old state
+    old_rows = {r.subj for r in s.df_at(v1).collect()}
+    assert old_rows == {f"<{g}#e1>", f"<{g}#e2>"}
+    live_rows = {r.subj for r in s.df().collect()}
+    assert live_rows == {f"<{g}#e2>", f"<{g}#e3>"}
+    # change set between v1 and live
+    changes = {(r.subj, r.change) for r in s.diff(v1).collect()}
+    assert changes == {
+        (f"<{g}#e3>", "added"),
+        (f"<{g}#e1>", "removed"),
+    }
+    # expiry: the old snapshot becomes unreadable (and its manifest is
+    # garbage-collected with it); the live snapshot still reads
+    s.expire_snapshots(keep=1)
+    with pytest.raises(ValueError, match="expired"):
+        s.df_at(v1)
+    assert {r.subj for r in s.df().collect()} == live_rows
