@@ -138,6 +138,7 @@ def _edge_rules_fixpoint(
     sym: DataFrame,
     trans_preds: DataFrame,
     max_rounds: int,
+    seed_known: DataFrame | None = None,
 ) -> DataFrame:
     """Joint fixpoint of the edge-level rules over ``(subj, pred, obj)``,
     evaluated **semi-naively**: after the first round, each rule fires
@@ -199,8 +200,18 @@ def _edge_rules_fixpoint(
         chained = fwd.unionByName(bwd).where(F.col("subj") != F.col("obj"))
         return _dedup([flipped, mirrored, inherited, chained])
 
-    known = data.distinct().localCheckpoint(eager=True)
-    frontier = known
+    if seed_known is not None:
+        # incremental mode: the seed is already closed under the rules,
+        # so the first round only fires on the delta (data)
+        frontier = (
+            data.distinct()
+            .join(seed_known, ["subj", "pred", "obj"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        known = seed_known.unionByName(frontier).localCheckpoint(eager=True)
+    else:
+        known = data.distinct().localCheckpoint(eager=True)
+        frontier = known
     for _ in range(max_rounds):
         new = (
             derive(frontier, tr_of(known))
@@ -333,6 +344,112 @@ def rdfs_inferred(
     return rdfs_closure(
         base, owl_rules=owl_rules, max_rounds=max_rounds
     ).join(base.distinct(), ["subj", "pred", "obj"], "left_anti")
+
+
+def rdfs_closure_delta(
+    closure: DataFrame,
+    added: DataFrame,
+    *,
+    owl_rules: bool = True,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Incremental closure maintenance: the NEW triples entailed when
+    ``added`` joins an already-materialized ``closure``
+    (:func:`rdfs_closure` output). RDFS/OWL rules are monotone, so for
+    pure additions the semi-naive fixpoint can start from the existing
+    closure with the delta as the only frontier — cost scales with the
+    delta (plus one anti-join against the closure), not the corpus.
+    This is the read side of the parquet store's CDC ``diff``: feed the
+    ``added`` rows in, union the returned delta into the materialized
+    closure.
+
+    Additions only: a delta that touches *schema* triples
+    (subClassOf / subPropertyOf / domain / range / inverseOf, or
+    property-characteristic ``rdf:type`` rows) invalidates previously
+    derived inferences wholesale, and removals need delete-rederive —
+    both raise ``ValueError`` pointing at the full recompute. The guard
+    costs one ``limit(1)`` probe."""
+    a = added.select("subj", "pred", "obj").localCheckpoint(eager=True)
+    schema_probe = a.where(
+        F.col("pred").isin(*_SCHEMA_PREDS)
+        | (
+            (F.col("pred") == _TYPE)
+            & F.col("obj").isin(_SYMMETRIC, _TRANSITIVE)
+        )
+    ).take(1)
+    if schema_probe:
+        raise ValueError(
+            "delta touches schema triples — incremental maintenance is "
+            "additions-to-data only; run rdfs_closure over the full "
+            "graph instead"
+        )
+    c = closure.select("subj", "pred", "obj").localCheckpoint(eager=True)
+
+    def rel(p: str) -> DataFrame:
+        return c.where(F.col("pred") == p).select(
+            F.col("subj").alias("sub"), F.col("obj").alias("sup")
+        )
+
+    # the materialized closure already contains the transitive sp/sc
+    # relations (rdfs_closure emits them) — no re-closing needed
+    sp, sc, dom, rng = rel(_SUB_PROP), rel(_SUB_CLASS), rel(_DOMAIN), rel(_RANGE)
+    empty_rel = c.sparkSession.createDataFrame([], "p string, q string")
+    if owl_rules:
+        inv = c.where(F.col("pred") == _INVERSE).select(
+            F.col("subj").alias("p"), F.col("obj").alias("q")
+        )
+        inv_both = inv.unionByName(
+            inv.select(F.col("q").alias("p"), F.col("p").alias("q"))
+        ).distinct()
+        sym = (
+            c.where((F.col("pred") == _TYPE) & (F.col("obj") == _SYMMETRIC))
+            .select(F.col("subj").alias("p"))
+            .distinct()
+        )
+        trans_preds = (
+            c.where((F.col("pred") == _TYPE) & (F.col("obj") == _TRANSITIVE))
+            .select(F.col("subj").alias("p"))
+            .distinct()
+        )
+    else:
+        inv_both = empty_rel
+        sym = empty_rel.select("p")
+        trans_preds = empty_rel.select("p")
+
+    old_data = c.where(~F.col("pred").isin(_TYPE, *_SCHEMA_PREDS))
+    added_data = a.where(F.col("pred") != _TYPE)
+    data = _edge_rules_fixpoint(
+        added_data,
+        sp=sp,
+        inv_both=inv_both,
+        sym=sym,
+        trans_preds=trans_preds,
+        max_rounds=max_rounds,
+        seed_known=old_data.localCheckpoint(eager=True),
+    )
+    new_data = data.join(old_data, ["subj", "pred", "obj"], "left_anti")
+
+    dom_types = new_data.join(
+        broadcast(dom), new_data["pred"] == dom["sub"]
+    ).select("subj", F.lit(_TYPE).alias("pred"), F.col("sup").alias("obj"))
+    rng_types = (
+        new_data.where(F.col("obj").startswith("<"))
+        .join(broadcast(rng), new_data["pred"] == rng["sub"])
+        .select(
+            F.col("obj").alias("subj"),
+            F.lit(_TYPE).alias("pred"),
+            F.col("sup").alias("obj"),
+        )
+    )
+    new_types = _dedup(
+        [a.where(F.col("pred") == _TYPE), dom_types, rng_types]
+    )
+    super_types = new_types.join(
+        broadcast(sc), new_types["obj"] == sc["sub"]
+    ).select("subj", "pred", F.col("sup").alias("obj"))
+    return _dedup([a, new_data, new_types, super_types]).join(
+        c, ["subj", "pred", "obj"], "left_anti"
+    )
 
 
 def _dedup(parts: list[DataFrame]) -> DataFrame:

@@ -143,3 +143,62 @@ def test_transitive_closure_cycle_safe(spark):
     assert rows == {
         (s, t) for s in "abc" for t in "abc" if s != t
     }
+
+
+def test_incremental_delta_matches_full_recompute(spark):
+    """closure(base ∪ added) == closure(base) ∪ delta(closure(base),
+    added) — the incremental-maintenance correctness invariant, on a
+    delta that fires every rule family (inheritance chain, symmetric
+    mirror of an inherited edge, transitive chain extension,
+    domain/range typing, class-chain types)."""
+    from ontograph_spark.ontology.inference import rdfs_closure_delta
+
+    base_rows = [(s, p, o, "urn:t") for s, p, o in SCHEMA + DATA]
+    base = spark.createDataFrame(
+        base_rows, "subj string, pred string, obj string, graph string"
+    )
+    added_rows = [
+        # extends the transitive chain at the far end
+        (E("e"), E("inside"), E("f")),
+        # a second pet: fires rdfs7 -> symmetric mirror -> dom/rng types
+        (E("bob"), E("hasPet"), E("tom")),
+        (E("tom"), TYPE, E("Cat")),
+    ]
+    added = spark.createDataFrame(
+        added_rows, "subj string, pred string, obj string"
+    )
+    closure_base = rdfs_closure(base)
+    delta = rdfs_closure_delta(closure_base, added)
+    incremental = {
+        tuple(r) for r in closure_base.collect()
+    } | {tuple(r) for r in delta.collect()}
+
+    full_rows = base_rows + [(s, p, o, "urn:t") for s, p, o in added_rows]
+    full = rdfs_closure(
+        spark.createDataFrame(
+            full_rows, "subj string, pred string, obj string, graph string"
+        )
+    )
+    assert incremental == {tuple(r) for r in full.collect()}
+    # the delta itself is disjoint from the base closure
+    assert not (
+        {tuple(r) for r in delta.collect()}
+        & {tuple(r) for r in closure_base.collect()}
+    )
+    # spot-check the long-range interaction: a->f needs the new edge
+    assert (E("a"), E("inside"), E("f")) in incremental
+
+
+def test_incremental_delta_rejects_schema_changes(spark):
+    from ontograph_spark.ontology.inference import rdfs_closure_delta
+
+    base = spark.createDataFrame(
+        [(s, p, o, "urn:t") for s, p, o in SCHEMA + DATA],
+        "subj string, pred string, obj string, graph string",
+    )
+    closure_base = rdfs_closure(base)
+    bad = spark.createDataFrame(
+        [(E("NewCls"), SUBC, E("Animal"))], "subj string, pred string, obj string"
+    )
+    with pytest.raises(ValueError, match="schema"):
+        rdfs_closure_delta(closure_base, bad)
