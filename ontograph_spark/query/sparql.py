@@ -44,7 +44,10 @@ tests/test_sparql_query.py alongside the repo's own
   and parenthesised combinations — compiled to iterative distributed
   closure (see "Scale shape" below);
 * ``GRAPH <uri> { … }`` / ``GRAPH ?g { … }`` scoping;
-* ``FILTER`` with ``= != < <= > >= && || !``, ``BOUND(?v)``,
+* ``FILTER`` with ``= != < <= > >= && || !``, **arithmetic**
+  (``+ - * /`` with SPARQL precedence and unary minus, usable in
+  comparisons, BIND, builtin arguments and ORDER BY; values are
+  doubles — division by zero ⇒ null ⇒ row dropped), ``BOUND(?v)``,
   ``?v [NOT] IN (const, …)``, the type tests ``isIRI``/``isURI``/
   ``isLiteral``/``isBlank``/``isNumeric``, the string tests
   ``REGEX(?v, "pat"[, "i"])`` / ``STRSTARTS`` / ``STRENDS`` /
@@ -202,7 +205,7 @@ _TOKEN_RE = re.compile(
     | (?P<PNAME>[A-Za-z_][\w-]*:(?:[\w.-]*[\w-])?|:[\w.-]*[\w-]|:)
     | (?P<VAR>\?\w+)
     | (?P<NAME>[A-Za-z_]\w*)
-    | (?P<OP><=|>=|!=|&&|\|\||[{}()\[\].;,=<>!*+/|^?])
+    | (?P<OP><=|>=|!=|&&|\|\||[{}()\[\].;,=<>!*+/|^?-])
     """,
     re.X,
 )
@@ -1077,11 +1080,11 @@ class _Parser:
         return self._parse_cmp()
 
     def _parse_cmp(self):
-        lhs = self._parse_primary()
+        lhs = self._parse_additive()
         t = self.peek()
         if t is not None and t[0] == "OP" and t[1] in ("=", "!=", "<", "<=", ">", ">="):
             op = self.next()[1]
-            return ("cmp", op, lhs, self._parse_primary())
+            return ("cmp", op, lhs, self._parse_additive())
         negated = False
         if self.at_kw("NOT") and self._next_is_in():
             self.next()
@@ -1100,6 +1103,42 @@ class _Parser:
             node = ("in", lhs, items)
             return ("not", node) if negated else node
         return lhs
+
+    def _parse_additive(self):
+        """SPARQL arithmetic: additive over multiplicative over unary.
+        A signed NUMBER token directly after an operand is the SPARQL
+        grammar's signed-literal continuation (``?x -1`` ≡ ``?x + -1``,
+        the tokenizer binds the sign to the digits)."""
+        node = self._parse_mult()
+        while True:
+            t = self.peek()
+            if t is not None and t[0] == "OP" and t[1] in ("+", "-"):
+                op = self.next()[1]
+                node = ("arith", op, node, self._parse_mult())
+            elif t is not None and t[0] == "NUMBER" and t[1][0] in "+-":
+                node = ("arith", "+", node, ("num", float(self.next()[1])))
+            else:
+                return node
+
+    def _parse_mult(self):
+        node = self._parse_unary()
+        while True:
+            t = self.peek()
+            if t is not None and t[0] == "OP" and t[1] in ("*", "/"):
+                op = self.next()[1]
+                node = ("arith", op, node, self._parse_unary())
+            else:
+                return node
+
+    def _parse_unary(self):
+        t = self.peek()
+        if t is not None and t[0] == "OP" and t[1] == "-":
+            self.next()
+            return ("neg", self._parse_unary())
+        if t is not None and t[0] == "OP" and t[1] == "+":
+            self.next()
+            return self._parse_unary()
+        return self._parse_primary()
 
     def _next_is_in(self) -> bool:
         t = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
@@ -1163,15 +1202,16 @@ class _Parser:
             other = self._parse_bind_expr()
             self.expect_op(")")
             return ("if", cond, then, other)
-        return self._parse_primary()
+        return self._parse_additive()
 
     def _parse_call_args(self):
-        """``( expr, … )`` — the argument list of a builtin call."""
+        """``( expr, … )`` — the argument list of a builtin call
+        (arithmetic allowed per argument)."""
         self.expect_op("(")
-        args = [self._parse_primary()]
+        args = [self._parse_additive()]
         while self.at_op(","):
             self.next()
-            args.append(self._parse_primary())
+            args.append(self._parse_additive())
         self.expect_op(")")
         return args
 
@@ -1832,6 +1872,25 @@ def _string_operand(node, columns: set[str]) -> Column:
     raise SparqlSyntaxError(f"{node!r} is not a string-valued operand")
 
 
+def _encode_numeric(val: Column) -> Column:
+    """A double Column re-encoded as a term: xsd:integer when the value
+    is integral, xsd:decimal otherwise."""
+    return F.when(
+        val == val.cast("long").cast("double"),
+        F.concat(
+            F.lit('"'),
+            val.cast("long").cast("string"),
+            F.lit(f'"^^<{vocab.XSD_INTEGER}>'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('"'),
+            val.cast("string"),
+            F.lit(f'"^^<{vocab.XSD_DECIMAL}>'),
+        )
+    )
+
+
 def _numeric_operand(node, columns: set[str]) -> Column:
     """An expression operand as a double Column: vars via the literal's
     numeric value (``try_cast`` — non-numeric ⇒ null ⇒ row dropped,
@@ -1858,6 +1917,21 @@ def _numeric_operand(node, columns: set[str]) -> Column:
         if node[1] == "FLOOR":
             return F.floor(inner).cast("double")
         return F.round(inner, 0)  # ROUND
+    if kind == "arith":
+        l = _numeric_operand(node[2], columns)
+        r = _numeric_operand(node[3], columns)
+        if node[1] == "+":
+            return l + r
+        if node[1] == "-":
+            return l - r
+        if node[1] == "*":
+            return l * r
+        # "/" — double division via try_divide: division by zero ⇒ null
+        # ⇒ row dropped, matching the type-error-⇒-false convention
+        # (ANSI mode's plain `/` would throw instead)
+        return F.try_divide(l, r)
+    if kind == "neg":
+        return -_numeric_operand(node[1], columns)
     if kind == "dtfunc":
         ts = F.to_timestamp(term_value_col(_term_operand(node[2], columns)))
         fn = {
@@ -1918,32 +1992,21 @@ def _bind_value(node, columns: set[str]) -> Column:
         )
     if kind == "hashfunc":
         return F.concat(F.lit('"'), _string_operand(node, columns), F.lit('"'))
-    if kind in ("mathfunc", "dtfunc"):
+    if kind in ("mathfunc", "dtfunc", "arith", "neg"):
         val = _numeric_operand(node, columns)
-        if kind == "dtfunc" or node[1] in ("CEIL", "FLOOR", "ROUND"):
+        if kind == "dtfunc" or (
+            kind == "mathfunc" and node[1] in ("CEIL", "FLOOR", "ROUND")
+        ):
             # integral by construction ⇒ xsd:integer
             return F.concat(
                 F.lit('"'),
                 val.cast("long").cast("string"),
                 F.lit(f'"^^<{vocab.XSD_INTEGER}>'),
             )
-        # ABS: integer when the value is integral, else decimal —
-        # deterministic value-shape encoding (SPARQL preserves the
-        # operand's numeric type; the engine's numeric mode is doubles)
-        return F.when(
-            val == val.cast("long").cast("double"),
-            F.concat(
-                F.lit('"'),
-                val.cast("long").cast("string"),
-                F.lit(f'"^^<{vocab.XSD_INTEGER}>'),
-            ),
-        ).otherwise(
-            F.concat(
-                F.lit('"'),
-                val.cast("string"),
-                F.lit(f'"^^<{vocab.XSD_DECIMAL}>'),
-            )
-        )
+        # value-shape encoding: integer when integral, else decimal
+        # (SPARQL's type-promotion rules collapse to doubles in this
+        # engine; deterministic and oracle-mirrorable)
+        return _encode_numeric(val)
     if kind == "irifunc":
         return F.concat(
             F.lit("<"), _string_operand(node[1], columns), F.lit(">")
@@ -1989,6 +2052,8 @@ def _operand_mode(node) -> str:
         "nfunc": "num",
         "mathfunc": "num",
         "dtfunc": "num",
+        "arith": "num",
+        "neg": "num",
         "irifunc": "term",
         "strdt": "term",
         "strlang": "term",
@@ -2006,7 +2071,7 @@ def _cmp_side(node, mode: str, columns: set[str]) -> Column:
         return F.col(node[1])
     if kind in ("acc", "sxfunc", "hashfunc"):
         return _string_operand(node, columns)
-    if kind in ("nfunc", "mathfunc", "dtfunc"):
+    if kind in ("nfunc", "mathfunc", "dtfunc", "arith", "neg"):
         return _numeric_operand(node, columns)
     if kind in ("irifunc", "strdt", "strlang"):
         return _bind_value(node, columns)
@@ -2332,7 +2397,7 @@ def _order_cols(df: DataFrame, order: list[tuple[tuple, bool]]) -> list[Column]:
                 )
             cols.append(F.col(v).asc() if asc else F.col(v).desc())
             continue
-        if node[0] in ("nfunc", "mathfunc", "dtfunc", "num"):
+        if node[0] in ("nfunc", "mathfunc", "dtfunc", "num", "arith", "neg"):
             key = _numeric_operand(node, columns)
         elif node[0] in ("acc", "sxfunc", "hashfunc", "str"):
             key = _string_operand(node, columns)

@@ -1444,3 +1444,66 @@ def test_langmatches_and_sameterm(spark):
         "SELECT ?s WHERE { ?s <u:say> ?v . FILTER(sameTerm(?v, "
         '"plain"^^<http://www.w3.org/2001/XMLSchema#token>)) }',
     ).count()
+
+
+def test_arithmetic_in_filter_bind_and_order(spark):
+    rows = [
+        ("<u:a>", "<u:price>", f'"10.5"^^<{_XSD}decimal>', "g"),
+        ("<u:a>", "<u:qty>", f'"4"^^<{_XSD}integer>', "g"),
+        ("<u:b>", "<u:price>", f'"2"^^<{_XSD}decimal>', "g"),
+        ("<u:b>", "<u:qty>", f'"3"^^<{_XSD}integer>', "g"),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string"
+    )
+    # BIND of a product re-encodes by value shape
+    got = sorted(
+        tuple(r)
+        for r in sparql_select(
+            df,
+            "SELECT ?s ?t WHERE { ?s <u:price> ?p ; <u:qty> ?q . "
+            "BIND(?p * ?q AS ?t) }",
+        ).collect()
+    )
+    assert got == [
+        ("<u:a>", f'"42"^^<{_XSD}integer>'),
+        ("<u:b>", f'"6"^^<{_XSD}integer>'),
+    ]
+    # precedence: (q + 2) * 2 vs q + 2 * 2
+    assert sparql_ask(df, "ASK { ?s <u:qty> ?q . FILTER((?q + 2) * 2 = 12) }")
+    assert sparql_ask(df, "ASK { ?s <u:qty> ?q . FILTER(?q + 2 * 2 = 8) }")
+    # unary minus and signed-literal continuation
+    assert [
+        r.s
+        for r in sparql_select(
+            df, "SELECT ?s WHERE { ?s <u:price> ?p . FILTER(-?p < -10) }"
+        ).collect()
+    ] == ["<u:a>"]
+    assert [
+        r.s
+        for r in sparql_select(
+            df, "SELECT ?s WHERE { ?s <u:price> ?p . FILTER(?p -1 > 9) }"
+        ).collect()
+    ] == ["<u:a>"]
+    # division produces decimals; by-zero drops the row (null ⇒ false)
+    assert [
+        r.s
+        for r in sparql_select(
+            df, "SELECT ?s WHERE { ?s <u:qty> ?q . FILTER(?q / 2 = 1.5) }"
+        ).collect()
+    ] == ["<u:b>"]
+    assert (
+        sparql_select(
+            df, "SELECT ?s WHERE { ?s <u:qty> ?q . FILTER(?q / 0 = 1) }"
+        ).count()
+        == 0
+    )
+    # arithmetic inside builtin args and ORDER BY keys
+    got = [
+        r.s
+        for r in sparql_select(
+            df,
+            "SELECT ?s WHERE { ?s <u:qty> ?q } ORDER BY ABS(?q - 10)",
+        ).collect()
+    ]
+    assert got == ["<u:a>", "<u:b>"]  # |4-10|=6 < |3-10|=7
