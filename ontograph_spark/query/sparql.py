@@ -783,16 +783,22 @@ class _Parser:
         if self.at_kw("DISTINCT"):
             self.next()
             cdistinct = True
-        cvar: str | None = None
+        cvar: str | tuple | None = None
         if self.at_op("*"):
             if func != "COUNT":
                 raise SparqlSyntaxError(f"{func}(*) is not valid SPARQL")
             self.next()
         else:
-            kind, text = self.next()
-            if kind != "VAR":
-                raise SparqlSyntaxError(f"{func} of {text!r} unsupported")
-            cvar = text[1:]
+            node = self._parse_additive()
+            if node[0] == "var":
+                cvar = node[1]
+            elif func in ("GROUP_CONCAT", "SAMPLE"):
+                raise SparqlSyntaxError(
+                    f"{func} takes a ?var, not an expression"
+                )
+            else:
+                # aggregate over an expression, e.g. SUM(?price * ?qty)
+                cvar = node
         sep: str | None = None
         if self.at_op(";"):
             if func != "GROUP_CONCAT":
@@ -2457,14 +2463,26 @@ def _agg_column(
                 )
             else:
                 agg = F.count(F.lit(1))
+        elif isinstance(cvar, tuple):
+            expr = _numeric_operand(cvar, set(df.columns))
+            agg = F.count_distinct(expr) if distinct else F.count(expr)
         else:
             if cvar not in df.columns:
                 raise SparqlSyntaxError(f"COUNT of unbound ?{cvar}")
             agg = F.count_distinct(cvar) if distinct else F.count(cvar)
         return agg.alias(alias)
-    if cvar not in df.columns:
-        raise SparqlSyntaxError(f"{func} of unbound ?{cvar}")
-    val = term_value_col(F.col(cvar)).try_cast("decimal(38,6)")
+    if isinstance(cvar, tuple):
+        # expression operand (SUM(?p * ?q), AVG(STRLEN(?t)), …): the
+        # per-row value computes in double space, then casts to
+        # decimal(38,6) so the partial aggregation stays exact and
+        # order-independent across partitions
+        val = _numeric_operand(cvar, set(df.columns)).try_cast(
+            "decimal(38,6)"
+        )
+    else:
+        if cvar not in df.columns:
+            raise SparqlSyntaxError(f"{func} of unbound ?{cvar}")
+        val = term_value_col(F.col(cvar)).try_cast("decimal(38,6)")
     if func == "SUM":
         agg = F.sum_distinct(val) if distinct else F.sum(val)
         return agg.cast("double").alias(alias)

@@ -1507,3 +1507,47 @@ def test_arithmetic_in_filter_bind_and_order(spark):
         ).collect()
     ]
     assert got == ["<u:a>", "<u:b>"]  # |4-10|=6 < |3-10|=7
+
+
+def test_aggregate_over_expression(spark):
+    rows = [
+        ("<u:o1>", "<u:price>", f'"10.5"^^<{_XSD}decimal>', "g"),
+        ("<u:o1>", "<u:qty>", f'"4"^^<{_XSD}integer>', "g"),
+        ("<u:o1>", "<u:cat>", '"a"', "g"),
+        ("<u:o2>", "<u:price>", f'"2"^^<{_XSD}decimal>', "g"),
+        ("<u:o2>", "<u:qty>", f'"3"^^<{_XSD}integer>', "g"),
+        ("<u:o2>", "<u:cat>", '"a"', "g"),
+        ("<u:o3>", "<u:price>", f'"5"^^<{_XSD}decimal>', "g"),
+        ("<u:o3>", "<u:qty>", f'"2"^^<{_XSD}integer>', "g"),
+        ("<u:o3>", "<u:cat>", '"b"', "g"),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string"
+    )
+    got = sorted(
+        tuple(r)
+        for r in sparql_select(
+            df,
+            "SELECT ?c (SUM(?p * ?q) AS ?rev) WHERE { "
+            "?o <u:price> ?p ; <u:qty> ?q ; <u:cat> ?c } GROUP BY ?c",
+        ).collect()
+    )
+    assert got == [('"a"', 48.0), ('"b"', 10.0)]
+    # expression aggregates compose with HAVING
+    got = [
+        r.c
+        for r in sparql_select(
+            df,
+            "SELECT ?c (COUNT(*) AS ?n) WHERE { "
+            "?o <u:price> ?p ; <u:qty> ?q ; <u:cat> ?c } GROUP BY ?c "
+            "HAVING (SUM(?p * ?q) > 20)",
+        ).collect()
+    ]
+    assert got == ['"a"']
+    # GROUP_CONCAT over an expression is rejected loudly
+    with pytest.raises(SparqlSyntaxError, match="GROUP_CONCAT"):
+        sparql_select(
+            df,
+            "SELECT (GROUP_CONCAT(?p * ?q) AS ?x) WHERE { "
+            "?o <u:price> ?p ; <u:qty> ?q }",
+        )
