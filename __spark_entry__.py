@@ -2479,6 +2479,41 @@ WHERE ty.pred = '{RDF_TYPE}' AND ty.obj = '<{G}#Supplier>'
 """
 
 
+_SPARQL_ARITH = f"""
+PREFIX t: <{G}#>
+SELECT ?n (SUM(?b * 2 + 1) AS ?adj) (COUNT(*) AS ?cnt)
+WHERE {{ GRAPH <{G}> {{
+    ?s a t:Supplier ;
+       t:inNation ?n ;
+       t:acctBal ?b .
+    FILTER(?b * 1 > -1000)
+}} }} GROUP BY ?n"""
+
+
+def q_sparql_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic end to end: a product/sum expression inside SUM (per
+    row in double space, aggregated over exact decimal(38,6) partials —
+    query/sparql.py:_agg_column), plus an arithmetic FILTER. One hash
+    aggregate; the expression lives in whole-stage codegen."""
+    from ontograph_spark.query import sparql_select
+
+    return sparql_select(quads_df(spark, sf_dir), _SPARQL_ARITH)
+
+
+_SQL_SPARQL_ARITH = f"""{_W}
+SELECT innat.obj AS n,
+       CAST(sum(CAST(CAST(regexp_extract(b.obj, '"([^"]*)"', 1) AS DOUBLE) * 2 + 1
+                AS DECIMAL(38,6))) AS DOUBLE) AS adj,
+       count(*) AS cnt
+FROM quads ty
+JOIN quads innat ON innat.subj = ty.subj AND innat.pred = '<{G}#inNation>'
+JOIN quads b ON b.subj = ty.subj AND b.pred = '<{G}#acctBal>'
+WHERE ty.pred = '{RDF_TYPE}' AND ty.obj = '<{G}#Supplier>'
+  AND CAST(regexp_extract(b.obj, '"([^"]*)"', 1) AS DOUBLE) * 1 > -1000
+GROUP BY innat.obj
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2563,6 +2598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_groupconcat": q_sparql_groupconcat,
         "sparql_describe": q_sparql_describe,
         "sparql_funcs": q_sparql_funcs,
+        "sparql_arith": q_sparql_arith,
     }
 
 
@@ -2638,6 +2674,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_groupconcat": _SQL_SPARQL_GROUPCONCAT,
         "sparql_describe": _SQL_SPARQL_DESCRIBE,
         "sparql_funcs": _SQL_SPARQL_FUNCS,
+        "sparql_arith": _SQL_SPARQL_ARITH,
         # multimodal: the Arrow mapInPandas stages aren't SQL-expressible,
         # but their input is a deterministic fixed-size synth table, so
         # the rollups are golden VALUES pins (derived in pure Python,
