@@ -71,6 +71,69 @@ def stream_construct_kg(
     return writer.start()
 
 
+def stream_construct_kg_with_closure(
+    files_stream: DataFrame,
+    store: ParquetQuadStore,
+    closure_store: ParquetQuadStore,
+    checkpoint_dir: str,
+    graph_uri: str = DEFAULT_GRAPH,
+    trigger_once: bool = True,
+    owl_rules: bool = True,
+) -> StreamingQuery:
+    """KG construction with a continuously-maintained RDFS/OWL closure.
+
+    Per micro-batch: construct quads, MERGE them into ``store``, then
+    bring ``closure_store`` (the materialized entailment) up to date —
+    **incrementally**: after the first batch seeds the full closure,
+    each batch pays :func:`~ontograph_spark.ontology.inference.
+    rdfs_closure_delta`'s delta-sized fixpoint, not a recompute. A
+    batch that turns out to carry schema triples (delta maintenance
+    would be unsound) falls back to a full recompute of the closure —
+    correct either way, just slower for that batch.
+
+    Replay-idempotent like :func:`stream_construct_kg`: both merges are
+    set-MERGEs and a replayed batch's delta against the already-updated
+    closure is empty."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from ontograph_spark.ontology.inference import (
+            rdfs_closure,
+            rdfs_closure_delta,
+        )
+
+        spark = batch_df.sparkSession
+        quads = construct_kg(
+            spark, batch_df, graph_uri, include_schema=(batch_id == 0)
+        )
+        store.merge_df(quads)
+        closure = closure_store.df().select("subj", "pred", "obj")
+        if not closure.take(1):
+            delta = rdfs_closure(store.df(), owl_rules=owl_rules)
+        else:
+            try:
+                delta = rdfs_closure_delta(
+                    closure,
+                    quads.select("subj", "pred", "obj"),
+                    owl_rules=owl_rules,
+                )
+            except ValueError:  # schema in the delta ⇒ full recompute
+                delta = rdfs_closure(store.df(), owl_rules=owl_rules)
+        closure_store.merge_df(
+            delta.withColumn("graph", F.lit(graph_uri))
+        )
+
+    writer = (
+        files_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def hourly_event_rollup(
     events_stream: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:

@@ -175,3 +175,49 @@ def test_stream_construct_merges_into_store(spark, tmp_path):
     )
     q2.awaitTermination(180)
     assert store.size() == want
+
+
+def test_stream_construct_maintains_closure(spark, tmp_path):
+    """Streaming KG construction with incrementally-maintained
+    entailment: after two micro-batch rounds, the closure store equals
+    a from-scratch rdfs_closure of the full base store."""
+    from ontograph_spark.ontology.inference import rdfs_closure
+    from ontograph_spark.streaming.stream_ingest import (
+        stream_construct_kg_with_closure,
+    )
+
+    src1 = str(tmp_path / "rows1")
+    src2 = str(tmp_path / "rows2")
+    all_rows = synthesize_repo_table(spark, 60, partitions=2)
+    all_rows.limit(40).write.parquet(src1)
+    all_rows.subtract(all_rows.limit(40)).write.parquet(src2)
+    store = ParquetQuadStore(
+        spark, GRAPH, str(tmp_path / "base"), write_partitions=2
+    )
+    closure_store = ParquetQuadStore(
+        spark, GRAPH, str(tmp_path / "closure"), write_partitions=2
+    )
+
+    # round 1: seeds the full closure (schema arrives in batch 0)
+    s1 = spark.readStream.schema(REPO_SCHEMA).parquet(src1)
+    stream_construct_kg_with_closure(
+        s1, store, closure_store, str(tmp_path / "c1"), GRAPH
+    ).awaitTermination(240)
+    n1 = closure_store.size()
+    assert n1 > store.size() * 0  # non-empty
+    # round 2: new files arrive — delta maintenance path
+    s2 = spark.readStream.schema(REPO_SCHEMA).parquet(src2)
+    stream_construct_kg_with_closure(
+        s2, store, closure_store, str(tmp_path / "c2"), GRAPH
+    ).awaitTermination(240)
+
+    want = {
+        tuple(r)
+        for r in rdfs_closure(store.df()).collect()
+    }
+    got = {
+        tuple(r)
+        for r in closure_store.df().select("subj", "pred", "obj").collect()
+    }
+    assert got == want
+    assert len(got) >= n1
