@@ -17,7 +17,10 @@ pattern match, size, drop, Turtle export) with no external service:
 Update grammar accepted (exactly what the client generates, mirroring
 blazegraph_store.go:104, 166, 248, 289): ``INSERT DATA { GRAPH <g> {…} }``,
 ``DELETE DATA { GRAPH <g> {…} }``, ``DELETE WHERE { GRAPH <g> { s p o } }``
-(variables = wildcards), ``DROP GRAPH <g>`` — plus the SPARQL 1.1
+(variables = wildcards), ``DROP GRAPH <g>`` — plus ``CLEAR GRAPH <g>``
+and the graph-management forms ``COPY|MOVE|ADD [GRAPH] <src> TO
+[GRAPH] <dst>`` (SPARQL 1.1 §3.2.2-3.2.5, whole-graph DataFrame
+merges) and the SPARQL 1.1
 template forms ``INSERT|DELETE { GRAPH <g> { … } } WHERE { … }``, which
 solve the WHERE group over the whole dataset and commit each graph's
 instantiated batch distributed (merge_df / delete_df).
@@ -34,6 +37,7 @@ import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ontograph_spark.query.sparql import (
     Group,
@@ -55,8 +59,14 @@ from ontograph_spark.terms import (
 )
 
 _UPDATE_RE = re.compile(
-    r"\s*(INSERT\s+DATA|DELETE\s+DATA|DELETE\s+WHERE|DROP\s+GRAPH)\s*(.*)",
+    r"\s*(INSERT\s+DATA|DELETE\s+DATA|DELETE\s+WHERE|DROP\s+GRAPH"
+    r"|CLEAR\s+GRAPH|COPY|MOVE|ADD)\s*(.*)",
     re.S | re.I,
+)
+
+_GRAPH_PAIR_RE = re.compile(
+    r"(?:GRAPH\s+)?<([^<>\s]+)>\s+TO\s+(?:GRAPH\s+)?<([^<>\s]+)>\s*$",
+    re.I,
 )
 
 
@@ -189,13 +199,41 @@ class LocalSparqlEndpoint:
             return
         form = re.sub(r"\s+", " ", m.group(1).upper())
         rest = m.group(2)
-        if form == "DROP GRAPH":
+        if form in ("DROP GRAPH", "CLEAR GRAPH"):
             iri = rest.strip()
             if not (iri.startswith("<") and iri.endswith(">")):
-                raise SparqlSyntaxError(f"DROP GRAPH needs an IRI: {rest!r}")
+                raise SparqlSyntaxError(f"{form} needs an IRI: {rest!r}")
             uri = iri[1:-1]
+            if form == "CLEAR GRAPH":
+                # graph stays managed, contents removed (SPARQL §3.2.2)
+                self.store_for(uri).delete_all_matches("", "", "")
+                return
             self.store_for(uri).drop()
             del self._stores[uri]
+            return
+        if form in ("COPY", "MOVE", "ADD"):
+            # SPARQL 1.1 Update graph management (§3.2.3-3.2.5):
+            # COPY = replace dst with src; ADD = union into dst;
+            # MOVE = COPY then drop src. Whole-graph DataFrame merges —
+            # no triple lists on the driver.
+            pm = _GRAPH_PAIR_RE.match(rest.strip())
+            if pm is None:
+                raise SparqlSyntaxError(
+                    f"{form} needs GRAPH <src> TO GRAPH <dst>: {rest!r}"
+                )
+            src_uri, dst_uri = pm.group(1), pm.group(2)
+            if src_uri == dst_uri:
+                return  # no-op per spec
+            src = self.store_for(src_uri)
+            dst = self.store_for(dst_uri)
+            if form in ("COPY", "MOVE"):
+                dst.delete_all_matches("", "", "")
+            dst.merge_df(
+                src.df().withColumn("graph", F.lit(dst_uri))
+            )
+            if form == "MOVE":
+                src.drop()
+                del self._stores[src_uri]
             return
         group = parse_group_text(rest)
         if not group.is_plain_triples():

@@ -405,3 +405,50 @@ def test_endpoint_query_serialized(spark):
     assert ep.query_serialized("ASK { ?s ?p ?o }", "text/csv") == (
         "boolean\r\ntrue\r\n"
     )
+
+
+def test_graph_management_updates(spark):
+    """CLEAR GRAPH / COPY / MOVE / ADD (SPARQL 1.1 Update §3.2)."""
+    from ontograph_spark.query import LocalSparqlEndpoint
+    from ontograph_spark.store.memory import MemoryQuadStore
+    from ontograph_spark.ontology.resources import new_triple
+    from ontograph_spark.terms import mk_literal, mk_resource
+
+    ep = LocalSparqlEndpoint(spark, lambda uri: MemoryQuadStore(spark, uri))
+
+    def fill(uri, *vals):
+        ep.store_for(uri).add_triples_unchecked(
+            [
+                new_triple(
+                    mk_resource(f"{uri}#e{v}"),
+                    mk_resource(f"{uri}#p"),
+                    mk_literal(str(v), "", ""),
+                )
+                for v in vals
+            ]
+        )
+
+    fill("urn:src", 1, 2)
+    fill("urn:dst", 9)
+    # ADD unions into dst
+    ep.update("ADD GRAPH <urn:src> TO GRAPH <urn:dst>")
+    assert ep.store_for("urn:dst").size() == 3
+    assert ep.store_for("urn:src").size() == 2
+    # COPY replaces dst
+    ep.update("COPY <urn:src> TO <urn:dst>")
+    assert ep.store_for("urn:dst").size() == 2
+    # graph column rewritten to the destination
+    assert {
+        r.graph for r in ep.store_for("urn:dst").df().collect()
+    } == {"urn:dst"}
+    # MOVE drops src afterwards
+    ep.update("MOVE GRAPH <urn:src> TO GRAPH <urn:moved>")
+    assert "urn:src" not in ep._stores
+    assert ep.store_for("urn:moved").size() == 2
+    # CLEAR empties but keeps the graph managed
+    ep.update("CLEAR GRAPH <urn:moved>")
+    assert ep.store_for("urn:moved").size() == 0
+    assert "urn:moved" in ep._stores
+    # COPY onto itself is a no-op
+    ep.update("COPY <urn:dst> TO <urn:dst>")
+    assert ep.store_for("urn:dst").size() == 2
