@@ -313,3 +313,33 @@ def test_parquet_snapshot_history(spark, tmp_path):
     assert s2.size() == 3
     expired = s.expire_snapshots(keep=1)
     assert expired and s2.size() == 3
+
+
+def test_nquads_round_trip(spark, tmp_path):
+    """N-Quads source/sink: multi-graph round trip preserves the graph
+    column; graph-less lines scope to the default graph."""
+    from ontograph_spark.sources.nquads import read_nquads, write_nquads
+
+    rows = [
+        ("<u:a>", "<u:p>", "<u:b>", "g1"),
+        ("<u:a>", "<u:p>", '"lit with spaces"', "g2"),
+        ("<u:c>", "<u:q>", '"3"^^<http://www.w3.org/2001/XMLSchema#integer>', "g1"),
+    ]
+    quads = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string"
+    )
+    out = str(tmp_path / "nq")
+    write_nquads(quads, out)
+    back = read_nquads(spark, out)
+    assert {tuple(r) for r in back.collect()} == set(rows)
+    # graph-less lines (plain N-Triples) land in the default graph
+    mixed = str(tmp_path / "mixed.nq")
+    with open(mixed, "w") as f:
+        f.write("<u:x> <u:p> <u:y> .\n")
+        f.write('<u:x> <u:p> "v" <u:g> .\n')
+        f.write("# comment\n\n")
+    got = {tuple(r) for r in read_nquads(spark, mixed, "fallback").collect()}
+    assert got == {
+        ("<u:x>", "<u:p>", "<u:y>", "fallback"),
+        ("<u:x>", "<u:p>", '"v"', "u:g"),
+    }
