@@ -2063,6 +2063,12 @@ def _operand_mode(node) -> str:
         "irifunc": "term",
         "strdt": "term",
         "strlang": "term",
+        # term-valued composites behave like variables: the OTHER side
+        # picks the comparison mode (numeric constant ⇒ values as
+        # doubles, string ⇒ values, term ⇒ encoded terms)
+        "coalesce": "var",
+        "if": "var",
+        "concat": "var",
         "hcol": "raw",
     }
     if node[0] not in modes:
@@ -2081,6 +2087,13 @@ def _cmp_side(node, mode: str, columns: set[str]) -> Column:
         return _numeric_operand(node, columns)
     if kind in ("irifunc", "strdt", "strlang"):
         return _bind_value(node, columns)
+    if kind in ("coalesce", "if", "concat"):
+        val = _bind_value(node, columns)
+        if mode in ("num", "raw"):
+            return term_value_col(val).try_cast("double")
+        if mode in ("value", "acc"):
+            return term_value_col(val)
+        return val
     if kind == "var":
         if node[1] not in columns:
             raise SparqlSyntaxError(f"FILTER references unbound ?{node[1]}")

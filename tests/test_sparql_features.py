@@ -1551,3 +1551,46 @@ def test_aggregate_over_expression(spark):
             "SELECT (GROUP_CONCAT(?p * ?q) AS ?x) WHERE { "
             "?o <u:price> ?p ; <u:qty> ?q }",
         )
+
+
+def test_coalesce_and_if_in_filter(spark):
+    rows = [
+        ("<u:a>", "<u:n>", f'"5"^^<{_XSD}integer>', "g"),
+        ("<u:a>", "<u:bonus>", f'"10"^^<{_XSD}integer>', "g"),
+        ("<u:b>", "<u:n>", f'"7"^^<{_XSD}integer>', "g"),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string"
+    )
+    # COALESCE over an OPTIONAL-unbound var compares numerically
+    got = {
+        r.s
+        for r in sparql_select(
+            df,
+            "SELECT ?s WHERE { ?s <u:n> ?n . "
+            "OPTIONAL { ?s <u:bonus> ?b } "
+            "FILTER(COALESCE(?b, 0) > 5) }",
+        ).collect()
+    }
+    assert got == {"<u:a>"}
+    # IF picks per row; compared against a string value
+    got = {
+        r.s
+        for r in sparql_select(
+            df,
+            'SELECT ?s WHERE { ?s <u:n> ?n . '
+            'OPTIONAL { ?s <u:bonus> ?b } '
+            'FILTER(IF(BOUND(?b), "y", "n") = "y") }',
+        ).collect()
+    }
+    assert got == {"<u:a>"}
+    # CONCAT as a comparison operand (term mode vs plain string const)
+    got = {
+        r.s
+        for r in sparql_select(
+            df,
+            'SELECT ?s WHERE { ?s <u:n> ?n . '
+            'FILTER(CONCAT("v", STR(?n)) = "v7") }',
+        ).collect()
+    }
+    assert got == {"<u:b>"}
