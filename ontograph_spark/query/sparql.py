@@ -18,7 +18,8 @@ tests/test_sparql_query.py alongside the repo's own
 * ``PREFIX`` declarations + prefixed names + ``a`` ≡ ``rdf:type``;
 * ``SELECT [DISTINCT] ?v … | * | (AGG([DISTINCT] *|?v) AS ?n)`` where
   ``AGG`` is COUNT / SUM / AVG / MIN / MAX / SAMPLE /
-  ``GROUP_CONCAT(?v; SEPARATOR="…")``, with ``GROUP BY ?v …`` for
+  ``GROUP_CONCAT(?v; SEPARATOR="…")``, with ``GROUP BY ?v …`` or
+  computed keys ``GROUP BY (expr AS ?v)`` for
   grouped aggregates (mixed ``?var``/aggregate entries; one hash
   aggregate, ``ORDER BY``/``LIMIT`` after it give top-k groups) and
   ``HAVING (constraint)`` filters whose aggregate calls compile to
@@ -89,8 +90,9 @@ tests/test_sparql_query.py alongside the repo's own
   null-tolerant compatibility plus the domain-overlap requirement when
   a shared variable can be unbound; a MINUS group sharing no variable
   removes nothing);
-* ``VALUES ?v { … }`` / ``VALUES (?a ?b) { (… …) … }`` inline data,
-  with ``UNDEF`` as an unbound cell — compiled to a (broadcastable)
+* ``VALUES ?v { … }`` / ``VALUES (?a ?b) { (… …) … }`` inline data —
+  inside the group or as the trailing query-level data block — with
+  ``UNDEF`` as an unbound cell, compiled to a (broadcastable)
   literal DataFrame joined into the group;
 * ``SERVICE [SILENT] <endpoint> { … }`` federation (SPARQL 1.1
   Federated Query): the body — a plain triple block, optionally under
@@ -320,6 +322,8 @@ class Query:
     #: output column order as written in the SELECT clause
     proj_order: list[str] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
+    #: computed GROUP BY keys — (alias, expr) from ``GROUP BY (expr AS ?v)``
+    group_binds: list[tuple[str, object]] = field(default_factory=list)
     distinct: bool = False
     order: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     #: HAVING constraints — expression ASTs that may contain ("aggexpr", …)
@@ -849,10 +853,34 @@ class _Parser:
             elif self.at_kw("GROUP"):
                 self.next()
                 self.expect_kw("BY")
-                while self.peek() is not None and self.peek()[0] == "VAR":
-                    q.group_by.append(self.next()[1][1:])
+                while True:
+                    t = self.peek()
+                    if t is not None and t[0] == "VAR":
+                        q.group_by.append(self.next()[1][1:])
+                    elif t == ("OP", "("):
+                        # GROUP BY (expr AS ?v): a computed group key —
+                        # sugar for BIND(expr AS ?v) + GROUP BY ?v
+                        # (SPARQL §18.2.4.1 binds the key the same way)
+                        self.next()
+                        expr = self._parse_bind_expr()
+                        self.expect_kw("AS")
+                        kind, text = self.next()
+                        if kind != "VAR":
+                            raise SparqlSyntaxError(
+                                "GROUP BY (expr AS ?var) needs a ?var"
+                            )
+                        self.expect_op(")")
+                        q.group_binds.append((text[1:], expr))
+                        q.group_by.append(text[1:])
+                    else:
+                        break
                 if not q.group_by:
                     raise SparqlSyntaxError("empty GROUP BY")
+            elif self.at_kw("VALUES"):
+                # trailing VALUES (SPARQL §10.2's query-level data block)
+                # constrains the group like an inline VALUES clause
+                self.next()
+                q.group.values.append(self._parse_values())
             elif self.at_kw("HAVING"):
                 self.next()
                 if not self.at_op("("):
@@ -2541,6 +2569,11 @@ def _compile_select(
         dataset.named = getattr(outer_dataset, "named", None)
     df, nullable = _compile_group_nn(quads, q.group, dataset)
     df = _drop_blank_cols(df)
+    for var, expr in q.group_binds:
+        # GROUP BY (expr AS ?v): bind the computed key before grouping
+        if var in df.columns:
+            raise SparqlSyntaxError(f"GROUP BY key rebinds bound ?{var}")
+        df = df.withColumn(var, _bind_value(expr, set(df.columns)))
     out_null: set[str] = set()
     deferred_proj: list[Column] | None = None
     if q.having and not (q.aggs or q.group_by):

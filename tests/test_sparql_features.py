@@ -1594,3 +1594,45 @@ def test_coalesce_and_if_in_filter(spark):
         ).collect()
     }
     assert got == {"<u:b>"}
+
+
+def test_group_by_expression_key(spark):
+    rows = [
+        ("<u:e1>", "<u:when>", f'"2023-05-01T10:00:00"^^<{_XSD}dateTime>', "g"),
+        ("<u:e2>", "<u:when>", f'"2023-07-02T10:00:00"^^<{_XSD}dateTime>', "g"),
+        ("<u:e3>", "<u:when>", f'"2024-01-03T10:00:00"^^<{_XSD}dateTime>', "g"),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string"
+    )
+    got = sorted(
+        tuple(r)
+        for r in sparql_select(
+            df,
+            "SELECT ?y (COUNT(*) AS ?n) WHERE { ?s <u:when> ?d } "
+            "GROUP BY (YEAR(?d) AS ?y)",
+        ).collect()
+    )
+    assert got == [
+        (f'"2023"^^<{_XSD}integer>', 2),
+        (f'"2024"^^<{_XSD}integer>', 1),
+    ]
+
+
+def test_trailing_values_constrains_query(spark):
+    rows = [
+        ("<u:e1>", "<u:p>", '"a"', "g"),
+        ("<u:e2>", "<u:p>", '"b"', "g"),
+        ("<u:e3>", "<u:p>", '"c"', "g"),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string"
+    )
+    got = sorted(
+        r.s
+        for r in sparql_select(
+            df,
+            "SELECT ?s WHERE { ?s <u:p> ?v } VALUES ?v { \"a\" \"c\" }",
+        ).collect()
+    )
+    assert got == ["<u:e1>", "<u:e3>"]
