@@ -752,7 +752,20 @@ def near_dup_keep(
         pairs = ngram_jaccard_bitmap_pairs(
             df, id_col, text_col, shingle_k=shingle_k, threshold=threshold
         )
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # Materialize the pair edges ONCE: the candidate-pair job (banded
+    # self-join + bitmap verify) is the expensive part, and without this
+    # cache Spark's incremental-limit `take` plus any downstream reference
+    # (the distributed-CC fallback, the final mapping join) would each
+    # re-execute it from scratch — measured as a 5x wall regression at
+    # sf0.1. persist() beats localCheckpoint() here: it caches partitions
+    # as the take computes them without cutting the plan to an RDD (the
+    # RDD conversion alone measured ~1.5 s extra), and a partial cache
+    # from an early-stopping take is still correct per-partition.
+    from pyspark import StorageLevel
+
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     rows = edges.take(pairs_driver_threshold + 1)
     if len(rows) <= pairs_driver_threshold:
         parent: dict = {}

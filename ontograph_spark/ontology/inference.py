@@ -124,10 +124,19 @@ def transitive_closure(pairs: DataFrame, *, max_rounds: int = 20) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         if not nxt.take(1):
-            break
+            return known
         known = known.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
-    return known
+    # The loop exhausted max_rounds with a non-empty frontier: returning
+    # `known` here would be a silently truncated closure — the worst
+    # failure mode. Fail loudly instead; callers with genuinely deeper
+    # chains raise max_rounds.
+    raise RuntimeError(
+        f"transitive_closure did not converge within max_rounds={max_rounds}"
+        " (non-empty frontier at loop exit); raise max_rounds for chains"
+        f" deeper than ~{max_rounds + 1} over relations larger than"
+        f" SCHEMA_DRIVER_LIMIT={SCHEMA_DRIVER_LIMIT}"
+    )
 
 
 def _edge_rules_fixpoint(

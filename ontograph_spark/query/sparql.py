@@ -1908,12 +1908,16 @@ def _string_operand(node, columns: set[str]) -> Column:
 
 def _encode_numeric(val: Column) -> Column:
     """A double Column re-encoded as a term: xsd:integer when the value
-    is integral, xsd:decimal otherwise."""
+    is integral, xsd:decimal otherwise. ``try_cast`` (not ``cast``)
+    keeps values outside BIGINT range (e.g. 1e30) on the decimal path —
+    under Spark's default ANSI mode a plain cast would raise
+    CAST_OVERFLOW and abort the whole query."""
+    as_long = val.try_cast("long")
     return F.when(
-        val == val.cast("long").cast("double"),
+        val == as_long.cast("double"),
         F.concat(
             F.lit('"'),
-            val.cast("long").cast("string"),
+            as_long.cast("string"),
             F.lit(f'"^^<{vocab.XSD_INTEGER}>'),
         ),
     ).otherwise(
@@ -1946,10 +1950,15 @@ def _numeric_operand(node, columns: set[str]) -> Column:
         inner = _numeric_operand(node[2], columns)
         if node[1] == "ABS":
             return F.abs(inner)
-        if node[1] == "CEIL":
-            return F.ceil(inner).cast("double")
-        if node[1] == "FLOOR":
-            return F.floor(inner).cast("double")
+        if node[1] in ("CEIL", "FLOOR"):
+            # F.ceil/floor return BIGINT and saturate at Long.MAX for
+            # doubles beyond 2^63 — but any double that large is already
+            # integral (doubles above 2^53 have no fraction), so pass it
+            # through unchanged instead
+            fn = F.ceil if node[1] == "CEIL" else F.floor
+            return F.when(
+                F.abs(inner) >= F.lit(9.223372036854776e18), inner
+            ).otherwise(fn(inner).cast("double"))
         return F.round(inner, 0)  # ROUND
     if kind == "arith":
         l = _numeric_operand(node[2], columns)
@@ -1966,6 +1975,12 @@ def _numeric_operand(node, columns: set[str]) -> Column:
         return F.try_divide(l, r)
     if kind == "neg":
         return -_numeric_operand(node[1], columns)
+    if kind == "term":
+        # typed-literal constant, e.g. "1e30"^^xsd:double in arithmetic:
+        # its numeric value is the literal's lexical form (try_cast —
+        # a non-numeric constant yields null ⇒ row dropped, the engine's
+        # comparison convention)
+        return term_value_col(F.lit(node[1])).try_cast("double")
     if kind == "dtfunc":
         ts = F.to_timestamp(term_value_col(_term_operand(node[2], columns)))
         fn = {
@@ -2031,11 +2046,24 @@ def _bind_value(node, columns: set[str]) -> Column:
         if kind == "dtfunc" or (
             kind == "mathfunc" and node[1] in ("CEIL", "FLOOR", "ROUND")
         ):
-            # integral by construction ⇒ xsd:integer
-            return F.concat(
-                F.lit('"'),
-                val.cast("long").cast("string"),
-                F.lit(f'"^^<{vocab.XSD_INTEGER}>'),
+            # integral by construction ⇒ xsd:integer; try_cast guards
+            # the ANSI CAST_OVERFLOW abort for values beyond BIGINT
+            # (CEIL(1e30) is integral but not long-representable) —
+            # those fall back to the decimal encoding of the double.
+            as_long = val.try_cast("long")
+            return F.when(
+                as_long.isNotNull(),
+                F.concat(
+                    F.lit('"'),
+                    as_long.cast("string"),
+                    F.lit(f'"^^<{vocab.XSD_INTEGER}>'),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit('"'),
+                    val.cast("string"),
+                    F.lit(f'"^^<{vocab.XSD_DECIMAL}>'),
+                )
             )
         # value-shape encoding: integer when integral, else decimal
         # (SPARQL's type-promotion rules collapse to doubles in this

@@ -145,6 +145,33 @@ def test_transitive_closure_cycle_safe(spark):
     }
 
 
+def test_transitive_closure_distributed_nonconvergence_raises(
+    spark, monkeypatch
+):
+    """The distributed frontier loop must fail loudly — not return a
+    silently truncated closure — when max_rounds exhausts with a
+    non-empty frontier. SCHEMA_DRIVER_LIMIT is patched down so a small
+    deep chain takes the distributed path."""
+    import pytest
+
+    from ontograph_spark.ontology import inference
+
+    chain = [(f"n{i}", f"n{i+1}") for i in range(8)]
+    pairs = spark.createDataFrame(chain, "sub string, sup string")
+    monkeypatch.setattr(inference, "SCHEMA_DRIVER_LIMIT", 5)
+    # frontier extends one hop per round: an 8-edge chain needs 7 rounds
+    with pytest.raises(RuntimeError, match="did not converge"):
+        inference.transitive_closure(pairs, max_rounds=3)
+    # ...and with enough rounds the same input converges to the exact
+    # closure.
+    rows = {
+        tuple(r)
+        for r in inference.transitive_closure(pairs, max_rounds=8).collect()
+    }
+    expect = {(f"n{i}", f"n{j}") for i in range(9) for j in range(i + 1, 9)}
+    assert rows == expect
+
+
 def test_incremental_delta_matches_full_recompute(spark):
     """closure(base ∪ added) == closure(base) ∪ delta(closure(base),
     added) — the incremental-maintenance correctness invariant, on a

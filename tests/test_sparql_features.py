@@ -391,6 +391,27 @@ def test_bind_datatype_is_iri(store):
     ]
 
 
+def test_bind_numeric_overflow_falls_to_decimal(store):
+    """A numeric BIND result outside BIGINT range must not abort the
+    query with ANSI CAST_OVERFLOW: the integer re-encoding try_casts and
+    falls back to the decimal encoding of the double. Same guard for the
+    integral-by-construction CEIL branch."""
+    q = f"""
+    SELECT ?y WHERE {{
+        ?s <{U}#rel-3> ?o
+        BIND("1e30"^^<http://www.w3.org/2001/XMLSchema#double> + 0 AS ?y)
+    }}"""
+    vals = [r[0] for r in sparql_select(store.df(), q).collect()]
+    assert vals == ['"1.0E30"^^<http://www.w3.org/2001/XMLSchema#decimal>']
+    q2 = f"""
+    SELECT ?y WHERE {{
+        ?s <{U}#rel-3> ?o
+        BIND(CEIL("1e30"^^<http://www.w3.org/2001/XMLSchema#double>) AS ?y)
+    }}"""
+    vals2 = [r[0] for r in sparql_select(store.df(), q2).collect()]
+    assert vals2 == ['"1.0E30"^^<http://www.w3.org/2001/XMLSchema#decimal>']
+
+
 def test_bind_reassign_raises(store):
     with pytest.raises(SparqlSyntaxError):
         sparql_select(
