@@ -21,24 +21,156 @@ failures into the empty join-identity per the spec.
 from __future__ import annotations
 
 import json
+import threading
 import urllib.error
 import urllib.request
+from contextlib import contextmanager
+
+#: Per-thread SERVICE execution policy. ``True`` = allow any endpoint
+#: (the library default — a local caller writing SERVICE into their own
+#: query is the trusting party), ``False`` = reject all SERVICE
+#: execution, or an iterable of allowed URL prefixes. The HTTP server
+#: applies ``False`` by default: a client able to POST queries must not
+#: be able to make the driver fetch arbitrary internal URLs (SSRF).
+_POLICY = threading.local()
+
+
+@contextmanager
+def service_policy(allow):
+    """Scope the SERVICE execution policy for the current thread.
+
+    ``allow`` is ``True`` (any endpoint), ``False`` (none), or an
+    iterable of URL prefixes (e.g. ``["https://query.example.org/"]``).
+    """
+    prev = getattr(_POLICY, "value", True)
+    _POLICY.value = (
+        allow if isinstance(allow, bool) else tuple(str(p) for p in allow)
+    )
+    try:
+        yield
+    finally:
+        _POLICY.value = prev
+
+
+def check_service_allowed(endpoint_url: str) -> None:
+    """Raise unless the current policy allows fetching ``endpoint_url``.
+
+    A policy rejection raises even under ``SERVICE SILENT`` — SILENT
+    covers *endpoint* failures (the spec's join identity), not a
+    deliberate local security policy, which must be loud."""
+    from ontograph_spark.query.sparql import SparqlSyntaxError
+
+    allow = getattr(_POLICY, "value", True)
+    if allow is True:
+        return
+    if allow and any(endpoint_url.startswith(p) for p in allow):
+        return
+    raise SparqlSyntaxError(
+        f"SERVICE execution is not permitted for <{endpoint_url}> on this"
+        " endpoint (federation is disabled for untrusted clients; see"
+        " ontograph_spark.query.federation.service_policy)"
+    )
+
+
+def _escape_str(s: str) -> str:
+    return s.replace("\\", "\\\\").replace('"', '\\"')
+
+
+def _num_text(v) -> str:
+    f = float(v)
+    return str(int(f)) if f.is_integer() else repr(f)
+
+
+def expr_to_sparql(node) -> str:
+    """Serialize a parsed expression AST back to SPARQL surface text —
+    the round-trip that lets FILTER constraints inside a SERVICE body
+    ship to the remote endpoint verbatim. Prefixed names were resolved
+    at parse time, so the output needs no prologue. Raises
+    SparqlSyntaxError for node kinds with no faithful serialization."""
+    from ontograph_spark.query.sparql import SparqlSyntaxError
+
+    k = node[0]
+    if k == "var":
+        return f"?{node[1]}"
+    if k == "num":
+        return _num_text(node[1])
+    if k == "str":
+        return f'"{_escape_str(node[1])}"'
+    if k == "term":
+        return node[1]  # encoded terms ARE surface syntax
+    if k == "or":
+        return f"({expr_to_sparql(node[1])} || {expr_to_sparql(node[2])})"
+    if k == "and":
+        return f"({expr_to_sparql(node[1])} && {expr_to_sparql(node[2])})"
+    if k == "not":
+        return f"(!{expr_to_sparql(node[1])})"
+    if k == "bound":
+        return f"BOUND(?{node[1]})"
+    if k == "cmp":
+        return (
+            f"({expr_to_sparql(node[2])} {node[1]} {expr_to_sparql(node[3])})"
+        )
+    if k == "in":
+        items = ", ".join(expr_to_sparql(a) for a in node[2])
+        return f"({expr_to_sparql(node[1])} IN ({items}))"
+    if k == "arith":
+        return (
+            f"({expr_to_sparql(node[2])} {node[1]} {expr_to_sparql(node[3])})"
+        )
+    if k == "neg":
+        return f"(-{expr_to_sparql(node[1])})"
+    if k == "tfunc":
+        return f"{node[1]}(?{node[2]})"
+    if k == "langmatches":
+        return (
+            f'LANGMATCHES({expr_to_sparql(node[1])}, "{_escape_str(node[2])}")'
+        )
+    if k == "sameterm":
+        return (
+            f"SAMETERM({expr_to_sparql(node[1])}, {expr_to_sparql(node[2])})"
+        )
+    if k == "sfunc":
+        args = ", ".join(expr_to_sparql(a) for a in node[2])
+        return f"{node[1]}({args})"
+    if k in ("mathfunc", "dtfunc", "hashfunc"):
+        return f"{node[1]}({expr_to_sparql(node[2])})"
+    if k == "irifunc":
+        return f"IRI({expr_to_sparql(node[1])})"
+    if k == "strdt":
+        return f"STRDT({expr_to_sparql(node[1])}, {node[2]})"
+    if k == "strlang":
+        return f'STRLANG({expr_to_sparql(node[1])}, "{_escape_str(node[2])}")'
+    if k == "concat":
+        return f"CONCAT({', '.join(expr_to_sparql(a) for a in node[1])})"
+    if k == "coalesce":
+        return f"COALESCE({', '.join(expr_to_sparql(a) for a in node[1])})"
+    if k == "if":
+        return (
+            f"IF({expr_to_sparql(node[1])}, {expr_to_sparql(node[2])}, "
+            f"{expr_to_sparql(node[3])})"
+        )
+    if k == "nfunc":
+        return f"STRLEN({expr_to_sparql(node[2])})"
+    if k == "acc":
+        return f"{node[1]}(?{node[2]})"
+    raise SparqlSyntaxError(
+        f"expression {node!r} cannot be serialized into a SERVICE body"
+    )
 
 
 def service_query_text(group) -> tuple[str, list[str]]:
     """Serialize a parsed service body back to a standalone SELECT.
 
-    Prefixed names were already resolved to full terms at parse time,
-    so the generated query needs no prologue. Returns (query text,
-    variable names in projection order)."""
+    Supports triple blocks (optionally under ``GRAPH <uri>``), FILTER
+    constraints (round-tripped through :func:`expr_to_sparql`, incl.
+    ``[NOT] EXISTS`` sub-bodies), and nested OPTIONAL groups — the
+    shapes real federated queries use. UNION/MINUS/BIND/VALUES/
+    subqueries inside SERVICE raise loudly. Prefixed names were already
+    resolved to full terms at parse time, so the generated query needs
+    no prologue. Returns (query text, variable names in projection
+    order — pattern variables incl. OPTIONAL-introduced ones)."""
     from ontograph_spark.query.sparql import SparqlSyntaxError
 
-    if not group.is_plain_triples() or not group.patterns:
-        raise SparqlSyntaxError(
-            "SERVICE bodies support plain triple blocks (optionally "
-            "under GRAPH <uri>) — move filters/joins outside the "
-            "SERVICE group"
-        )
     vars_: list[str] = []
 
     def slot(s) -> str:
@@ -49,29 +181,78 @@ def service_query_text(group) -> tuple[str, list[str]]:
             return f"?{val}"
         return val
 
-    by_graph: dict[str | None, list[str]] = {}
-    for pat in group.patterns:
-        text = f"{slot(pat.s)} {slot(pat.p)} {slot(pat.o)} ."
-        if pat.g is None:
-            key = None
-        elif pat.g[0] == "term":
-            key = pat.g[1]
-        else:
+    def body(grp) -> str:
+        if (
+            grp.unions
+            or grp.minuses
+            or grp.binds
+            or grp.values
+            or grp.subqueries
+            or grp.services
+        ):
             raise SparqlSyntaxError(
-                "SERVICE bodies support GRAPH <uri> only (a GRAPH ?var "
-                "over a remote dataset is not shippable verbatim)"
+                "SERVICE bodies support triple blocks, FILTER and "
+                "OPTIONAL (optionally under GRAPH <uri>) — move "
+                "UNION/MINUS/BIND/VALUES/subqueries outside the "
+                "SERVICE group"
             )
-        by_graph.setdefault(key, []).append(text)
-    parts = []
-    for key, triples in by_graph.items():
-        block = " ".join(triples)
-        parts.append(block if key is None else f"GRAPH <{key}> {{ {block} }}")
+        by_graph: dict[str | None, list[str]] = {}
+        for pat in grp.patterns:
+            text = f"{slot(pat.s)} {slot(pat.p)} {slot(pat.o)} ."
+            if pat.g is None:
+                key = None
+            elif pat.g[0] == "term":
+                key = pat.g[1]
+            else:
+                raise SparqlSyntaxError(
+                    "SERVICE bodies support GRAPH <uri> only (a GRAPH "
+                    "?var over a remote dataset is not shippable "
+                    "verbatim)"
+                )
+            by_graph.setdefault(key, []).append(text)
+        if grp.paths:
+            raise SparqlSyntaxError(
+                "property paths inside SERVICE are not shippable — "
+                "move the path outside the SERVICE group"
+            )
+        parts = []
+        for key, triples in by_graph.items():
+            block = " ".join(triples)
+            parts.append(
+                block if key is None else f"GRAPH <{key}> {{ {block} }}"
+            )
+        for fx in grp.filters:
+            parts.append(f"FILTER({_filter_text(fx)})")
+        for opt in grp.optionals:
+            parts.append(f"OPTIONAL {{ {body(opt)} }}")
+        return " ".join(parts)
+
+    def _filter_text(fx) -> str:
+        # [NOT] EXISTS carries a nested group — serialize it with the
+        # same body writer (its variables stay local to the filter and
+        # are NOT added to the projection, so collect into a throwaway)
+        if fx[0] == "exists":
+            return f"EXISTS {{ {_exists_body(fx[1])} }}"
+        if fx[0] == "not" and isinstance(fx[1], tuple) and fx[1][0] == "exists":
+            return f"NOT EXISTS {{ {_exists_body(fx[1][1])} }}"
+        return expr_to_sparql(fx)
+
+    def _exists_body(grp) -> str:
+        outer = list(vars_)
+        text = body(grp)
+        del vars_[len(outer):]  # EXISTS vars don't join back
+        return text
+
+    if not group.patterns and not group.optionals:
+        raise SparqlSyntaxError(
+            "SERVICE bodies need at least one triple pattern"
+        )
+    inner = body(group)
     if not vars_:
         # all-constant service pattern: probe existence, project nothing
-        return f"ASK {{ {' '.join(parts)} }}", []
+        return f"ASK {{ {inner} }}", []
     return (
-        f"SELECT {' '.join(f'?{v}' for v in vars_)} "
-        f"WHERE {{ {' '.join(parts)} }}",
+        f"SELECT {' '.join(f'?{v}' for v in vars_)} WHERE {{ {inner} }}",
         vars_,
     )
 
@@ -108,6 +289,7 @@ def service_solutions(spark, endpoint_url: str, group, silent: bool):
     from ontograph_spark.query.sparql import SparqlSyntaxError
     from ontograph_spark.store.sparql_store import binding_to_term
 
+    check_service_allowed(endpoint_url)
     query, vars_ = service_query_text(group)
     try:
         doc = fetch_service_bindings(endpoint_url, query)

@@ -87,23 +87,37 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(data)
 
     def _answer_query(self, ep: LocalSparqlEndpoint, query: str) -> None:
+        from ontograph_spark.query.federation import service_policy
+
         try:
             media = _pick_media(self.headers.get("Accept"))
         except ValueError as e:
             self._send(406, str(e), "text/plain")
             return
         try:
-            result = ep.query(query)
+            with service_policy(self.server_ref.allow_service):
+                result = ep.query(query)
         except SparqlSyntaxError as e:
             self._send(400, str(e), "text/plain")
+            return
+        except Exception as e:  # noqa: BLE001 — any evaluation failure
+            # (AnalysisException, federation transport errors, Py4J)
+            # must become an HTTP error, not a dropped connection
+            self._send(500, f"{type(e).__name__}: {e}", "text/plain")
             return
         self._send(200, serialize_results(result, media), _MEDIA_TO_CTYPE[media])
 
     def _answer_update(self, ep: LocalSparqlEndpoint, update: str) -> None:
+        from ontograph_spark.query.federation import service_policy
+
         try:
-            ep.update(update)
+            with service_policy(self.server_ref.allow_service):
+                ep.update(update)
         except SparqlSyntaxError as e:
             self._send(400, str(e), "text/plain")
+            return
+        except Exception as e:  # noqa: BLE001
+            self._send(500, f"{type(e).__name__}: {e}", "text/plain")
             return
         self.send_response(204)
         self.send_header("Content-Length", "0")
@@ -315,7 +329,14 @@ class SparqlHttpServer:
         host: str = "127.0.0.1",
         port: int = 0,
         namespace_factory: "Callable[[str], LocalSparqlEndpoint] | None" = None,
+        allow_service: "bool | tuple[str, ...]" = False,
     ) -> None:
+        #: SERVICE execution policy for queries arriving over HTTP:
+        #: False (default — an HTTP client must not be able to make the
+        #: driver fetch arbitrary URLs, i.e. SSRF), True, or a tuple of
+        #: allowed endpoint-URL prefixes. Library-direct callers are
+        #: unaffected (their own queries keep the permissive default).
+        self.allow_service = allow_service
         #: Blazegraph-REST namespace emulation: with a factory, the
         #: server also answers /bigdata/status, namespace CRUD and
         #: /bigdata/namespace/<id>/sparql — the admin surface the

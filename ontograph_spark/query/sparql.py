@@ -81,9 +81,13 @@ tests/test_sparql_query.py alongside the repo's own
   (``MD5``/``SHA…`` as plain literals), a term constructor
   (``IRI``/``URI``/``STRDT``/``STRLANG``), ``CONCAT(…)`` of string
   operands, ``COALESCE(expr, …)`` or ``IF(boolean, expr, expr)`` —
-  applied at the end of its group, before that group's FILTERs (a
-  documented simplification of SPARQL's position-sensitive BIND; every
-  reference-shaped and test query satisfies it);
+  applied at its TEXTUAL position (SPARQL §18.2.2.6 Extend: elements
+  before the BIND join first, the expression evaluates over those
+  solutions, later elements join against the extended set — so a
+  pattern after the BIND constrains the bound variable, and a BIND
+  referencing a variable bound only later raises the unbound error
+  instead of silently using the later binding); FILTERs stay
+  group-scoped regardless of position, which is itself exact (§17.2);
 * ``OPTIONAL { … }`` (nested OPTIONALs use SPARQL's
   unbound-is-compatible left join — see below), ``{ … } UNION { … }``,
   and ``MINUS { … }`` (SPARQL §8.3: an anti-join on shared variables —
@@ -309,6 +313,22 @@ class Group:
         )
 
 
+def _group_cut(g: "Group") -> tuple[int, ...]:
+    """A snapshot of the group's joinable-element list lengths — the
+    textual position marker stored with each BIND (patterns, paths,
+    values, services, unions, subqueries, optionals; FILTERs are
+    group-scoped per §17.2 and never cut)."""
+    return (
+        len(g.patterns),
+        len(g.paths),
+        len(g.values),
+        len(g.services),
+        len(g.unions),
+        len(g.subqueries),
+        len(g.optionals),
+    )
+
+
 @dataclass
 class Query:
     kind: str  # "select" | "ask" | "construct"
@@ -337,6 +357,10 @@ class Query:
     describe: list[tuple[str, str]] = field(default_factory=list)
     #: FROM <iri> default-graph scope (empty = all graphs)
     dataset: list[str] = field(default_factory=list)
+    #: trailing query-level VALUES blocks (SPARQL §18.2.4.3: joined into
+    #: the solution sequence AFTER Grouping/Aggregation/HAVING, unlike a
+    #: VALUES clause inside the WHERE group)
+    trailing_values: list = field(default_factory=list)
 
 
 _AGG_FUNCS = ("COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE")
@@ -877,10 +901,13 @@ class _Parser:
                 if not q.group_by:
                     raise SparqlSyntaxError("empty GROUP BY")
             elif self.at_kw("VALUES"):
-                # trailing VALUES (SPARQL §10.2's query-level data block)
-                # constrains the group like an inline VALUES clause
+                # trailing VALUES (SPARQL §10.2's query-level data
+                # block): applied AFTER Grouping/HAVING per §18.2.4.3 —
+                # joining it into the WHERE group instead would filter
+                # aggregate INPUT rows, a different answer whenever the
+                # data block constrains a non-group-key variable
                 self.next()
-                q.group.values.append(self._parse_values())
+                q.trailing_values.append(self._parse_values())
             elif self.at_kw("HAVING"):
                 self.next()
                 if not self.at_op("("):
@@ -929,7 +956,12 @@ class _Parser:
                 if kind != "VAR":
                     raise SparqlSyntaxError("BIND needs (expr AS ?var)")
                 self.expect_op(")")
-                g.binds.append((text[1:], expr))
+                # record the BIND's textual position as a cut across the
+                # group's element lists: at compile time the elements
+                # before the cut join first, then the BIND extends, then
+                # parsing continues — SPARQL's left-to-right Extend
+                # semantics (§18.2.2.6)
+                g.binds.append((text[1:], expr, _group_cut(g)))
             elif self.at_kw("VALUES"):
                 self.next()
                 g.values.append(self._parse_values())
@@ -1043,10 +1075,16 @@ class _Parser:
 
     @staticmethod
     def _merge(g: Group, inner: Group) -> None:
+        # inner BIND cuts are relative to the inner group's lists;
+        # shift them by the outer group's current lengths
+        offs = _group_cut(g)
         g.patterns.extend(inner.patterns)
         g.paths.extend(inner.paths)
         g.filters.extend(inner.filters)
-        g.binds.extend(inner.binds)
+        g.binds.extend(
+            (v, e, tuple(c + o for c, o in zip(cut, offs)))
+            for v, e, cut in inner.binds
+        )
         g.optionals.extend(inner.optionals)
         g.unions.extend(inner.unions)
         g.minuses.extend(inner.minuses)
@@ -2302,82 +2340,133 @@ def _compile_group_nn(
     unbound-compatibility rule instead of a plain equi join."""
     df: DataFrame | None = None
     nullable: set[str] = set()
-    for pat in _order_patterns(g.patterns):
-        scan = _scan(quads, pat, dataset)
-        df = scan if df is None else _join_shared(df, scan, lnull=nullable)
-    for pp in g.paths:
-        compiled = _compile_path_pattern(quads, pp, dataset)
-        df = compiled if df is None else _join_shared(df, compiled, lnull=nullable)
-    for names, rows in g.values:
-        # inline data: a literal (broadcast-sized) DataFrame joined on its
-        # variable columns; UNDEF cells are null ⇒ the vars join with the
-        # unbound-compatibility rule like any maybe-null variable
-        spark = quads.sparkSession
-        vdf = spark.createDataFrame(
-            [tuple(r) for r in rows], ", ".join(f"{n} string" for n in names)
-        )
-        vnull = {
-            n for i, n in enumerate(names) if any(r[i] is None for r in rows)
-        }
-        nullable |= vnull
-        df = (
-            vdf
-            if df is None
-            else _join_shared(df, vdf, lnull=nullable, rnull=vnull)
-        )
-    for endpoint_url, sgroup, silent in g.services:
-        # SPARQL 1.1 Federation: the body evaluates on the remote
-        # endpoint; its bindings join here like inline data (remote
-        # result sets are broadcast-sized by construction)
-        from ontograph_spark.query.federation import service_solutions
+    consumed = [0, 0, 0, 0, 0, 0, 0]
 
-        spark = quads.sparkSession
-        res = service_solutions(spark, endpoint_url, sgroup, silent)
-        if res is None:
-            continue  # SILENT failure / satisfied ASK ⇒ join identity
-        rows, names, snull = res
-        if not names:
-            # all-constant pattern the endpoint denies ⇒ no solutions
-            empty = quads.select(F.lit(True).alias("__exists__")).limit(0)
-            df = empty if df is None else df.limit(0)
-            continue
-        sdf = spark.createDataFrame(
-            rows, ", ".join(f"{n} string" for n in names)
-        )
-        nullable |= snull
-        df = (
-            sdf
-            if df is None
-            else _join_shared(df, sdf, lnull=nullable, rnull=snull)
-        )
-    for branches in g.unions:
-        compiled_b = [_compile_group_nn(quads, b, dataset) for b in branches]
-        all_vars: set[str] = set()
-        for bdf, _ in compiled_b:
-            all_vars |= {c for c in bdf.columns if c != "__exists__"}
-        u: DataFrame | None = None
-        for bdf, bnull in compiled_b:
-            missing = all_vars - set(bdf.columns)
-            nullable |= bnull | missing
-            u = bdf if u is None else u.unionByName(bdf, allowMissingColumns=True)
-        df = u if df is None else _join_shared(df, u, lnull=nullable, rnull=nullable)
-    for sub in g.subqueries:
-        sdf, snull = _compile_select(quads, sub, dataset)
-        nullable |= snull
-        df = sdf if df is None else _join_shared(df, sdf, lnull=nullable, rnull=snull)
+    def _join_elements(cut: tuple[int, ...]) -> None:
+        """Join the group elements between the last cut and ``cut`` into
+        the running solution set. BIND-free elements are freely
+        reorderable (SPARQL §18.2.2.6 collects adjacent patterns into
+        one BGP), so triple patterns keep the greedy selectivity
+        ordering WITHIN each segment; only BIND positions cut."""
+        nonlocal df, nullable
+        p_end, pa_end, v_end, s_end, u_end, q_end, o_end = cut
+        for pat in _order_patterns(g.patterns[consumed[0] : p_end]):
+            scan = _scan(quads, pat, dataset)
+            df = scan if df is None else _join_shared(df, scan, lnull=nullable)
+        for pp in g.paths[consumed[1] : pa_end]:
+            compiled = _compile_path_pattern(quads, pp, dataset)
+            df = (
+                compiled
+                if df is None
+                else _join_shared(df, compiled, lnull=nullable)
+            )
+        for names, rows in g.values[consumed[2] : v_end]:
+            # inline data: a literal (broadcast-sized) DataFrame joined
+            # on its variable columns; UNDEF cells are null ⇒ the vars
+            # join with the unbound-compatibility rule like any
+            # maybe-null variable
+            spark = quads.sparkSession
+            vdf = spark.createDataFrame(
+                [tuple(r) for r in rows],
+                ", ".join(f"{n} string" for n in names),
+            )
+            vnull = {
+                n
+                for i, n in enumerate(names)
+                if any(r[i] is None for r in rows)
+            }
+            nullable |= vnull
+            df = (
+                vdf
+                if df is None
+                else _join_shared(df, vdf, lnull=nullable, rnull=vnull)
+            )
+        for endpoint_url, sgroup, silent in g.services[consumed[3] : s_end]:
+            # SPARQL 1.1 Federation: the body evaluates on the remote
+            # endpoint; its bindings join here like inline data (remote
+            # result sets are broadcast-sized by construction)
+            from ontograph_spark.query.federation import service_solutions
+
+            spark = quads.sparkSession
+            res = service_solutions(spark, endpoint_url, sgroup, silent)
+            if res is None:
+                continue  # SILENT failure / satisfied ASK ⇒ join identity
+            rows, names, snull = res
+            if not names:
+                # all-constant pattern the endpoint denies ⇒ no solutions
+                empty = quads.select(F.lit(True).alias("__exists__")).limit(0)
+                df = empty if df is None else df.limit(0)
+                continue
+            sdf = spark.createDataFrame(
+                rows, ", ".join(f"{n} string" for n in names)
+            )
+            nullable |= snull
+            df = (
+                sdf
+                if df is None
+                else _join_shared(df, sdf, lnull=nullable, rnull=snull)
+            )
+        for branches in g.unions[consumed[4] : u_end]:
+            compiled_b = [
+                _compile_group_nn(quads, b, dataset) for b in branches
+            ]
+            all_vars: set[str] = set()
+            for bdf, _ in compiled_b:
+                all_vars |= {c for c in bdf.columns if c != "__exists__"}
+            u: DataFrame | None = None
+            for bdf, bnull in compiled_b:
+                missing = all_vars - set(bdf.columns)
+                nullable |= bnull | missing
+                u = (
+                    bdf
+                    if u is None
+                    else u.unionByName(bdf, allowMissingColumns=True)
+                )
+            df = (
+                u
+                if df is None
+                else _join_shared(df, u, lnull=nullable, rnull=nullable)
+            )
+        for sub in g.subqueries[consumed[5] : q_end]:
+            sdf, snull = _compile_select(quads, sub, dataset)
+            nullable |= snull
+            df = (
+                sdf
+                if df is None
+                else _join_shared(df, sdf, lnull=nullable, rnull=snull)
+            )
+        for opt in g.optionals[consumed[6] : o_end]:
+            if df is None:
+                raise SparqlSyntaxError(
+                    "OPTIONAL cannot be the first element of a group"
+                )
+            odf, onull = _compile_group_nn(quads, opt, dataset)
+            right_vars = {c for c in odf.columns if c != "__exists__"}
+            new_vars = right_vars - set(df.columns)
+            df = _join_shared(df, odf, how="left", lnull=nullable, rnull=onull)
+            nullable |= onull | new_vars
+        consumed[:] = cut
+
+    for var, expr, bind_cut in g.binds:
+        # SPARQL §18.2.2.6 Extend: everything textually before the BIND
+        # joins first, the expression evaluates over THOSE solutions,
+        # and the elements after it (which may join on the bound var)
+        # continue from the extended set
+        _join_elements(bind_cut)
+        if df is None:
+            # BIND as the group's first element extends the empty
+            # solution: one row carrying just the bound value
+            df = quads.sparkSession.range(1).select(
+                _bind_value(expr, set()).alias(var)
+            )
+        else:
+            if var in df.columns:
+                raise SparqlSyntaxError(f"BIND reassigns already-bound ?{var}")
+            df = df.withColumn(var, _bind_value(expr, set(df.columns)))
+        nullable.add(var)
+    _join_elements(_group_cut(g))
     if df is None:
         raise SparqlSyntaxError("empty group graph pattern")
-    for opt in g.optionals:
-        odf, onull = _compile_group_nn(quads, opt, dataset)
-        right_vars = {c for c in odf.columns if c != "__exists__"}
-        new_vars = right_vars - set(df.columns)
-        df = _join_shared(df, odf, how="left", lnull=nullable, rnull=onull)
-        nullable |= onull | new_vars
-    for var, expr in g.binds:
-        if var in df.columns:
-            raise SparqlSyntaxError(f"BIND reassigns already-bound ?{var}")
-        df = df.withColumn(var, _bind_value(expr, set(df.columns)))
-        nullable.add(var)
     counter = [0]
     for expr in g.filters:
         # FILTER [NOT] EXISTS at the top of the constraint is a semi/anti
@@ -2684,6 +2773,30 @@ def _compile_select(
         df = df.select(F.col("__exists__").cast("string").alias("__exists__"))
     else:
         out_null = nullable & set(df.columns)
+    for names, rows in q.trailing_values:
+        # the query-level data block joins the (possibly aggregated)
+        # solution sequence here — after Grouping/HAVING, before the
+        # DISTINCT/ORDER/slice modifiers (SPARQL §18.2.4.3)
+        spark = quads.sparkSession
+        vdf = spark.createDataFrame(
+            [tuple(r) for r in rows], ", ".join(f"{n} string" for n in names)
+        )
+        vnull = {
+            n for i, n in enumerate(names) if any(r[i] is None for r in rows)
+        }
+        df = _join_shared(df, vdf, lnull=out_null | nullable, rnull=vnull)
+        out_null |= vnull
+    if q.trailing_values and deferred_proj is None and q.proj_order:
+        # projection applies last (§18.2.5): drop data-block variables
+        # that are not in the SELECT clause
+        df = df.select(*q.proj_order)
+    elif q.trailing_values and deferred_proj is not None:
+        # rebuild the deferred projection: the data block may have bound
+        # a projected variable the pattern never did
+        deferred_proj = [
+            F.col(v) if v in df.columns else F.lit(None).cast("string").alias(v)
+            for v in q.proj_order
+        ]
     if q.distinct:
         df = df.distinct()
     if q.order:

@@ -27,19 +27,38 @@ _QUAD_RE = r"^(<[^>]*>)\s+(<[^>]*>)\s+(.+?)(?:\s+(<[^>]*>))?\s*\.\s*$"
 
 
 def read_nquads(
-    spark: SparkSession, path: str, default_graph: str = ""
+    spark: SparkSession, path: str, default_graph: str = "", strict: bool = False
 ) -> DataFrame:
     """N-Quads file(s) → quad DataFrame. Graph-less lines (plain
-    N-Triples statements — valid N-Quads) scope to ``default_graph``."""
+    N-Triples statements — valid N-Quads) scope to ``default_graph``.
+
+    ``strict=True`` raises :class:`ValueError` (with a sample of the
+    offending lines) when any non-blank, non-comment line fails to
+    parse, instead of silently dropping it — a corrupt or
+    partially-unsupported dump (e.g. blank-node subjects) is then a
+    loud error rather than invisible data loss. The check is one extra
+    distributed count over the same scan, only when opted in."""
     lines = spark.read.text(path)
-    parsed = lines.where(
+    content = lines.where(
         (F.trim("value") != "") & ~F.col("value").startswith("#")
-    ).select(
+    )
+    parsed = content.select(
+        "value",
         F.regexp_extract("value", _QUAD_RE, 1).alias("subj"),
         F.regexp_extract("value", _QUAD_RE, 2).alias("pred"),
         F.regexp_extract("value", _QUAD_RE, 3).alias("obj"),
         F.regexp_extract("value", _QUAD_RE, 4).alias("g"),
     )
+    if strict:
+        bad = parsed.where(F.col("subj") == "")
+        sample = [r["value"] for r in bad.take(3)]
+        if sample:
+            n = bad.count()
+            shown = "; ".join(repr(s[:120]) for s in sample)
+            raise ValueError(
+                f"read_nquads(strict=True): {n} unparseable statement"
+                f" line(s) in {path} (first: {shown})"
+            )
     return parsed.where(F.col("subj") != "").select(
         "subj",
         "pred",

@@ -1657,3 +1657,120 @@ def test_trailing_values_constrains_query(spark):
         ).collect()
     )
     assert got == ["<u:e1>", "<u:e3>"]
+
+
+def test_trailing_values_applies_after_aggregation(spark):
+    """SPARQL §18.2.4.3: the query-level data block joins the
+    AGGREGATED solution sequence, not the aggregate's input rows. A
+    trailing VALUES over a variable that is not a group key therefore
+    does not filter what gets counted (?o is out of scope after
+    grouping ⇒ the join is a product), while VALUES over the group key
+    selects whole groups with their full aggregates."""
+    rows = [
+        ("<u:e1>", "<u:p>", '"a"', "g"),
+        ("<u:e1>", "<u:p>", '"b"', "g"),
+        ("<u:e2>", "<u:p>", '"a"', "g"),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string"
+    )
+    # non-key variable: must NOT restrict the aggregate input
+    got = sorted(
+        (r.s, r.n)
+        for r in sparql_select(
+            df,
+            'SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s <u:p> ?o } '
+            'GROUP BY ?s VALUES ?o { "a" }',
+        ).collect()
+    )
+    assert got == [("<u:e1>", 2), ("<u:e2>", 1)]
+    # group key: selects the group, aggregate stays whole
+    got2 = [
+        (r.s, r.n)
+        for r in sparql_select(
+            df,
+            "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s <u:p> ?o } "
+            "GROUP BY ?s VALUES ?s { <u:e1> }",
+        ).collect()
+    ]
+    assert got2 == [("<u:e1>", 2)]
+    # data block binding a projected variable the pattern never binds
+    got3 = sorted(
+        tuple(r)
+        for r in sparql_select(
+            df,
+            'SELECT ?s ?tag WHERE { ?s <u:p> "b" } VALUES ?tag { "x" "y" }',
+        ).collect()
+    )
+    assert got3 == [("<u:e1>", '"x"'), ("<u:e1>", '"y"')]
+
+
+# ---------------------------------------------------------------------------
+# Positional BIND (SPARQL §18.2.2.6 Extend)
+# ---------------------------------------------------------------------------
+
+
+def test_bind_position_pattern_after_joins_on_bound_var(spark):
+    """A triple pattern AFTER the BIND constrains the bound variable:
+    BIND extends the solutions built so far, and the later pattern
+    joins against the extended set."""
+    rows = [
+        ("<u:a>", "<u:name>", '"x"', "g"),
+        ("<u:b>", "<u:name>", '"y"', "g"),
+        ("<u:a>", "<u:tag>", '"x-tag"', "g"),
+        ("<u:b>", "<u:tag>", '"z-tag"', "g"),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string"
+    )
+    q = (
+        "SELECT ?s WHERE { ?s <u:name> ?n "
+        'BIND(CONCAT(STR(?n), "-tag") AS ?t) '
+        "?s <u:tag> ?t }"
+    )
+    assert [r[0] for r in sparql_select(df, q).collect()] == ["<u:a>"]
+
+
+def test_bind_forward_reference_raises(spark):
+    """BIND referencing a variable bound only by a LATER pattern in the
+    group must not see that binding (left-to-right Extend): the engine
+    raises its unbound-variable error rather than silently using it."""
+    rows = [("<u:a>", "<u:p>", '"1"', "g")]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string"
+    )
+    with pytest.raises(SparqlSyntaxError, match="unbound"):
+        sparql_select(
+            df,
+            "SELECT ?y WHERE { BIND(STR(?o) AS ?y) ?s <u:p> ?o }",
+        ).collect()
+
+
+def test_bind_first_element_extends_empty_solution(spark):
+    """A group whose first element is a constant BIND extends the empty
+    solution — one row carrying the value — and later patterns join it."""
+    rows = [("<u:a>", "<u:p>", '"v"', "g")]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string"
+    )
+    q = 'SELECT ?k ?s WHERE { BIND("seed" AS ?k) ?s <u:p> ?o }'
+    got = [tuple(r) for r in sparql_select(df, q).collect()]
+    assert got == [('"seed"', "<u:a>")]
+
+
+def test_bind_between_patterns_masks_only_prior_bindings(spark):
+    """Two BINDs at different positions: each sees exactly the variables
+    bound before its own position."""
+    rows = [
+        ("<u:a>", "<u:p>", '"1"', "g"),
+        ("<u:a>", "<u:q>", '"2"', "g"),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string"
+    )
+    q = (
+        "SELECT ?x ?y WHERE { ?s <u:p> ?o BIND(STR(?o) AS ?x) "
+        "?s <u:q> ?o2 BIND(CONCAT(?x, STR(?o2)) AS ?y) }"
+    )
+    got = [tuple(r) for r in sparql_select(df, q).collect()]
+    assert got == [('"1"', '"12"')]

@@ -283,3 +283,134 @@ def test_graph_store_protocol_lifecycle(server):
     assert call("GET")[0] == 404
     # bad payload -> 400
     assert call("PUT", b"not triples at all }{")[0] == 400
+
+
+def _post_query(url: str, q: str):
+    import urllib.parse
+
+    body = urllib.parse.urlencode({"query": q}).encode()
+    req = urllib.request.Request(
+        url,
+        data=body,
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, resp.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
+def test_http_service_disabled_by_default(server, client):
+    """SSRF guard: a client POSTing a federated query must not be able
+    to make the driver fetch arbitrary URLs — SERVICE execution is
+    rejected by default for queries arriving over HTTP, even SILENT."""
+    client.add_triple(_t(31))
+    q = (
+        f"SELECT ?o WHERE {{ GRAPH <{U}> {{ ?s <{U}#rel> ?o }} "
+        "SERVICE <http://169.254.169.254/latest/meta-data> { ?a ?b ?c } }"
+    )
+    code, body = _post_query(server.url, q)
+    assert code == 400 and "not permitted" in body
+    code, body = _post_query(
+        server.url,
+        q.replace("SERVICE <", "SERVICE SILENT <"),
+    )
+    assert code == 400 and "not permitted" in body
+    # library-direct evaluation in the same process stays permissive:
+    # the local engine federating against the live server still works
+    # (covered by test_federated_service_join) — policy is scoped to
+    # the HTTP handler thread.
+    client.delete_all_matches("", "", "")
+
+
+def test_http_service_allowlist(spark, server):
+    """allow_service as a URL-prefix tuple: the listed endpoint is
+    reachable through HTTP-submitted queries; others stay rejected."""
+    ep = LocalSparqlEndpoint(spark, lambda uri: MemoryQuadStore(spark, uri))
+    srv = SparqlHttpServer(ep, allow_service=(server.url,)).start()
+    try:
+        back = SparqlQuadStore(U, server.url)
+        back.add_triple(_t(41))
+        q = (
+            f"SELECT ?o WHERE {{ SERVICE <{server.url}> {{ "
+            f"GRAPH <{U}> {{ ?s <{U}#rel> ?o }} }} }}"
+        )
+        code, body = _post_query(srv.url, q)
+        assert code == 200 and "v41" in body
+        code, body = _post_query(
+            srv.url,
+            "SELECT ?a WHERE { SERVICE <http://internal.host/x> { ?a ?b ?c } }",
+        )
+        assert code == 400 and "not permitted" in body
+        back.delete_all_matches("", "", "")
+    finally:
+        srv.stop()
+
+
+def test_http_internal_error_returns_500(spark):
+    """A non-syntax evaluation failure must surface as HTTP 500 with
+    the message, not a dropped connection."""
+    ep = LocalSparqlEndpoint(spark, lambda uri: MemoryQuadStore(spark, uri))
+    orig = ep.query
+    ep.query = lambda q: (_ for _ in ()).throw(RuntimeError("boom"))
+    srv = SparqlHttpServer(ep).start()
+    try:
+        code, body = _post_query(srv.url, "SELECT ?s WHERE { ?s ?p ?o }")
+        assert code == 500 and "boom" in body
+    finally:
+        ep.query = orig
+        srv.stop()
+
+
+def test_federated_service_with_filter_and_optional(spark, server):
+    """FILTER and OPTIONAL inside a SERVICE body round-trip through the
+    expression serializer and evaluate on the remote endpoint."""
+    from ontograph_spark.query import sparql_select
+
+    back = SparqlQuadStore(U, server.url)
+    back.add_triples(
+        [
+            new_triple(
+                mk_resource(f"{U}#s{i}"),
+                mk_resource(f"{U}#score"),
+                mk_literal(
+                    str(i), "", "http://www.w3.org/2001/XMLSchema#integer"
+                ),
+            )
+            for i in (1, 2, 3)
+        ]
+        + [
+            new_triple(
+                mk_resource(f"{U}#s3"),
+                mk_resource(f"{U}#label"),
+                mk_literal("three", "", ""),
+            )
+        ]
+    )
+    local = spark.createDataFrame(
+        [(f"<{U}#s2>", "<u:local>", '"l2"', "loc"),
+         (f"<{U}#s3>", "<u:local>", '"l3"', "loc")],
+        "subj string, pred string, obj string, graph string",
+    )
+    q = (
+        "SELECT ?s ?v ?lab WHERE { ?s <u:local> ?l "
+        f"SERVICE <{server.url}> {{ GRAPH <{U}> {{ "
+        f"?s <{U}#score> ?v "
+        f"OPTIONAL {{ ?s <{U}#label> ?lab }} "
+        "FILTER(?v >= 2) } } }"
+    )
+    got = sorted(tuple(r) for r in sparql_select(local, q).collect())
+    assert got == [
+        (
+            f"<{U}#s2>",
+            '"2"^^<http://www.w3.org/2001/XMLSchema#integer>',
+            None,
+        ),
+        (
+            f"<{U}#s3>",
+            '"3"^^<http://www.w3.org/2001/XMLSchema#integer>',
+            '"three"',
+        ),
+    ]
+    back.delete_all_matches("", "", "")

@@ -343,3 +343,26 @@ def test_nquads_round_trip(spark, tmp_path):
         ("<u:x>", "<u:p>", "<u:y>", "fallback"),
         ("<u:x>", "<u:p>", '"v"', "u:g"),
     }
+
+
+def test_nquads_strict_mode(spark, tmp_path):
+    """strict=True turns silently-dropped unparseable lines into a loud
+    ValueError naming a sample; the default stays lenient."""
+    import pytest
+
+    from ontograph_spark.sources.nquads import read_nquads
+
+    corrupt = str(tmp_path / "corrupt.nq")
+    with open(corrupt, "w") as f:
+        f.write("<u:x> <u:p> <u:y> .\n")
+        f.write("_:b0 <u:p> <u:y> .\n")  # blank-node subject: unsupported
+        f.write("totally not a statement\n")
+    # lenient default: the two bad lines vanish
+    assert read_nquads(spark, corrupt).count() == 1
+    with pytest.raises(ValueError, match="2 unparseable"):
+        read_nquads(spark, corrupt, strict=True)
+    # a clean file passes strict unchanged
+    clean = str(tmp_path / "clean.nq")
+    with open(clean, "w") as f:
+        f.write("<u:x> <u:p> <u:y> <u:g> .\n")
+    assert read_nquads(spark, clean, strict=True).count() == 1
