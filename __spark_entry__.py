@@ -2514,6 +2514,44 @@ GROUP BY innat.obj
 """
 
 
+def q_sparql_update_modify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 Update Modify end to end through the live endpoint
+    (query/endpoint.py): ``WITH <g> DELETE { } INSERT { } WHERE { }``
+    renames every <inNation nation-3> edge to <movedFrom nation-3> —
+    both templates instantiated against the SAME pre-update solutions,
+    DELETE committed before INSERT (§3.1.3) — then the post-state as
+    per-pred counts. The whole update is DataFrame algebra + merge_df /
+    delete_df; no driver-side triple lists."""
+    from ontograph_spark.query import LocalSparqlEndpoint
+    from ontograph_spark.store import MemoryQuadStore
+
+    ep = LocalSparqlEndpoint(spark, lambda uri: MemoryQuadStore(spark, uri))
+    ep.store_for(G).merge_df(quads_df(spark, sf_dir))
+    ep.update(
+        f"WITH <{G}> DELETE {{ ?s <{G}#inNation> <{G}#nation-3> }} "
+        f"INSERT {{ ?s <{G}#movedFrom> <{G}#nation-3> }} "
+        f"WHERE {{ ?s <{G}#inNation> <{G}#nation-3> }}"
+    )
+    return (
+        ep.store_for(G)
+        .df()
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_SQL_SPARQL_UPDATE_MODIFY = f"""{_W},
+post AS (
+  SELECT subj, pred, obj FROM quads
+  WHERE NOT (pred = '<{G}#inNation>' AND obj = '<{G}#nation-3>')
+  UNION ALL
+  SELECT subj, '<{G}#movedFrom>' AS pred, obj FROM quads
+  WHERE pred = '<{G}#inNation>' AND obj = '<{G}#nation-3>'
+)
+SELECT pred, count(*) AS n FROM post GROUP BY pred
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2559,6 +2597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pipeline_smoke": q_kg_pipeline_smoke,
         "docs_dedup_keep": q_docs_dedup_keep,
         "kg_rdfs_closure": q_kg_rdfs_closure,
+        "sparql_update_modify": q_sparql_update_modify,
         "kg_flagship": q_kg_flagship,
         "match_pattern": q_match_pattern,
         "subject_probe": q_subject_probe,
@@ -2683,6 +2722,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_describe": _SQL_SPARQL_DESCRIBE,
         "sparql_funcs": _SQL_SPARQL_FUNCS,
         "sparql_arith": _SQL_SPARQL_ARITH,
+        "sparql_update_modify": _SQL_SPARQL_UPDATE_MODIFY,
         # multimodal: the Arrow mapInPandas stages aren't SQL-expressible,
         # but their input is a deterministic fixed-size synth table, so
         # the rollups are golden VALUES pins (derived in pure Python,

@@ -113,11 +113,33 @@ def clear_persisted(spark: SparkSession) -> None:
     spark.catalog.clearCache()
 
 
-def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+def _cpu_sample() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat — the direct
+    signal for 'another tenant took the core while we were timed'."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
+def bench_queries(
+    spark: SparkSession, sf_dir: str
+) -> tuple[dict[str, float], dict[str, dict]]:
+    """Per-query min-of-N walls PLUS per-query host-noise metadata
+    (1-min loadavg at query start; CPU steal share over the query's
+    reps) — so a bench artifact showing a 2-3x outlier vs the quiet
+    record is self-diagnosing instead of looking like a regression."""
     import __spark_entry__ as entrymod
 
     out: dict[str, float] = {}
+    noise: dict[str, dict] = {}
     for name, fn in entrymod.queries().items():
+        load1 = os.getloadavg()[0]
+        s0, t0j = _cpu_sample()
         walls = []
         for _ in range(BENCH_REPS):
             t0 = time.time()
@@ -125,9 +147,15 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
             # execute fully but keep results off the driver
             df.write.format("noop").mode("overwrite").save()
             walls.append(round(time.time() - t0, 3))
+        s1, t1j = _cpu_sample()
         out[name] = min(walls)
+        noise[name] = {
+            "load1": round(load1, 2),
+            "steal_pct": round(100.0 * (s1 - s0) / max(t1j - t0j, 1), 2),
+            "walls": walls,
+        }
         clear_persisted(spark)
-    return out
+    return out, noise
 
 
 def bench_construct(spark: SparkSession, rows: int) -> dict:
@@ -222,7 +250,7 @@ def main() -> None:
 
     spark = build_spark(cpus)
     try:
-        queries = bench_queries(spark, sf_dir)
+        queries, host_noise = bench_queries(spark, sf_dir)
         construct = bench_construct(spark, rows)
     finally:
         spark.stop()
@@ -238,6 +266,7 @@ def main() -> None:
                 "sf": sf,
                 "cpus": cpus,
                 "construct": construct,
+                "host_noise": host_noise,
             }
         )
     )

@@ -20,10 +20,13 @@ blazegraph_store.go:104, 166, 248, 289): ``INSERT DATA { GRAPH <g> {…} }``,
 (variables = wildcards), ``DROP GRAPH <g>`` — plus ``CLEAR GRAPH <g>``
 and the graph-management forms ``COPY|MOVE|ADD [GRAPH] <src> TO
 [GRAPH] <dst>`` (SPARQL 1.1 §3.2.2-3.2.5, whole-graph DataFrame
-merges) and the SPARQL 1.1
-template forms ``INSERT|DELETE { GRAPH <g> { … } } WHERE { … }``, which
-solve the WHERE group over the whole dataset and commit each graph's
-instantiated batch distributed (merge_df / delete_df).
+merges), ``CREATE [SILENT] GRAPH <g>`` (§3.2.1),
+``LOAD [SILENT] <doc> [INTO GRAPH <g>]`` (distributed
+N-Triples/N-Quads bulk read, §3.1.4) and the SPARQL 1.1 Modify form
+``[WITH <g>] [DELETE {…}] [INSERT {…}] (USING [NAMED] <g>)* WHERE
+{ … }``, which solves the WHERE group once and commits each graph's
+instantiated batch distributed (merge_df / delete_df; DELETE before
+INSERT over the same solutions, both materialized pre-commit).
 
 Scale note: this adapter is the *compatibility* path — per-operation
 driver round-trips, like the reference's own client. Bulk pipelines
@@ -64,8 +67,18 @@ _UPDATE_RE = re.compile(
     re.S | re.I,
 )
 
+_CREATE_RE = re.compile(
+    r"\s*CREATE\s+(SILENT\s+)?GRAPH\s+<([^<>\s]+)>\s*$", re.I
+)
+
 _GRAPH_PAIR_RE = re.compile(
     r"(?:GRAPH\s+)?<([^<>\s]+)>\s+TO\s+(?:GRAPH\s+)?<([^<>\s]+)>\s*$",
+    re.I,
+)
+
+_LOAD_RE = re.compile(
+    r"\s*LOAD\s+(SILENT\s+)?<([^<>\s]+)>"
+    r"(?:\s+INTO\s+GRAPH\s+<([^<>\s]+)>)?\s*$",
     re.I,
 )
 
@@ -185,17 +198,50 @@ class LocalSparqlEndpoint:
         WHERE group over the whole dataset and commit each target graph's
         instantiated batch distributed (merge_df / delete_df — no
         driver-side triple lists)."""
+        cm = _CREATE_RE.match(sparql)
+        if cm is not None:
+            # CREATE [SILENT] GRAPH <g> (§3.2.1): make the graph managed;
+            # an already-managed graph is an error unless SILENT
+            uri = cm.group(2)
+            if uri in self._stores and not cm.group(1):
+                raise SparqlSyntaxError(f"graph already exists: <{uri}>")
+            self.store_for(uri)
+            return
+        lm = _LOAD_RE.match(sparql)
+        if lm is not None:
+            self._load(
+                silent=lm.group(1) is not None,
+                source=lm.group(2),
+                into=lm.group(3),
+            )
+            return
         m = _UPDATE_RE.match(sparql)
         if m is None:
             from ontograph_spark.query.sparql import sparql_update_template
 
-            form, by_graph = sparql_update_template(self._world(), sparql)
-            for uri, batch in by_graph.items():
-                store = self.store_for(uri)
-                if form == "INSERT":
-                    store.merge_df(batch)
-                else:
-                    store.delete_df(batch)
+            ops = sparql_update_template(self._world(), sparql)
+            if len(ops) > 1:
+                # DELETE + INSERT instantiate against the same WHERE
+                # solutions: materialize every batch BEFORE the first
+                # commit, or the delete would change what the lazy
+                # insert batch scans
+                ops = [
+                    (
+                        form,
+                        {
+                            uri: batch.localCheckpoint(eager=True)
+                            for uri, batch in by_graph.items()
+                        },
+                    )
+                    for form, by_graph in ops
+                ]
+            for form, by_graph in ops:
+                for uri, batch in by_graph.items():
+                    store = self.store_for(uri)
+                    if form == "INSERT":
+                        store.merge_df(batch)
+                    else:
+                        store.delete_df(batch)
             return
         form = re.sub(r"\s+", " ", m.group(1).upper())
         rest = m.group(2)
@@ -256,6 +302,57 @@ class LocalSparqlEndpoint:
                 for kind, val in (pat.s, pat.p, pat.o)
             ]
             self.store_for(pat.g[1]).delete_all_matches(*wild)
+
+    def _load(self, silent: bool, source: str, into: str | None) -> None:
+        """SPARQL 1.1 Update ``LOAD [SILENT] <doc> [INTO GRAPH <g>]``
+        (§3.1.4): bulk-read an N-Triples or N-Quads document
+        (``file:`` IRIs and plain paths; ``.nq`` selects the quad
+        reader) distributed and merge it. ``INTO GRAPH`` scopes every
+        statement to that graph; without it an N-Quads document routes
+        each quad to its own named graph (this endpoint is
+        multi-graph — there is no unnamed default), while N-Triples
+        without INTO is an error. SILENT swallows read failures per the
+        spec."""
+        path = source
+        if path.startswith("file://"):
+            path = path[len("file://"):]
+        try:
+            if path.endswith(".nq") or path.endswith(".nquads"):
+                from ontograph_spark.sources.nquads import read_nquads
+
+                quads = read_nquads(
+                    self.spark, path, default_graph=into or "", strict=True
+                )
+            else:
+                from ontograph_spark.sources.ntriples import read_ntriples
+
+                if into is None:
+                    raise SparqlSyntaxError(
+                        "LOAD of an N-Triples document needs INTO GRAPH"
+                        " <g> (this endpoint has no unnamed default"
+                        " graph)"
+                    )
+                quads = read_ntriples(self.spark, path, into)
+            if into is not None:
+                quads = quads.withColumn("graph", F.lit(into))
+                self.store_for(into).merge_df(quads)
+                return
+            # route per named graph: the distinct graph list is
+            # vocabulary-sized (one store per graph by construction)
+            graphs = [r[0] for r in quads.select("graph").distinct().collect()]
+            if "" in graphs:
+                raise SparqlSyntaxError(
+                    f"LOAD <{source}>: document has graph-less statements"
+                    " and no INTO GRAPH was given"
+                )
+            for g in graphs:
+                self.store_for(g).merge_df(quads.where(F.col("graph") == g))
+        except Exception as e:
+            if silent:
+                return  # LOAD SILENT: failure leaves the store unchanged
+            if isinstance(e, SparqlSyntaxError):
+                raise
+            raise SparqlSyntaxError(f"LOAD <{source}> failed: {e}") from e
 
     @staticmethod
     def _data_triples(group: Group, form: str) -> dict[str, list[Triple]]:

@@ -1740,9 +1740,25 @@ def _join_shared(
     shared = [c for c in left.columns if c in set(right.columns)]
     shared = [c for c in shared if c != "__exists__"]
     if not shared:
-        if how == "inner":
-            return left.crossJoin(right)
-        return left.join(right, F.lit(True), "left")
+        if how != "inner":
+            # an OPTIONAL sharing no variables with the group is
+            # semantically a cartesian extension (left join on true) —
+            # almost always a variable typo, and the physical plan is a
+            # BroadcastNestedLoopJoin that goes quadratic at scale, so
+            # say so at compile time (inner cross joins stay silent:
+            # VALUES/subqueries introducing fresh variables are routine)
+            import warnings
+
+            warnings.warn(
+                "OPTIONAL group shares no variables with the preceding"
+                " pattern — compiles to a cartesian left join (left"
+                f" columns {sorted(c for c in left.columns if c != '__exists__')},"
+                f" optional {sorted(c for c in right.columns if c != '__exists__')})"
+                " — check for a variable-name typo",
+                stacklevel=3,
+            )
+            return left.join(right, F.lit(True), "left")
+        return left.crossJoin(right)
     nullable_shared = [v for v in shared if v in lnull or v in rnull]
     if not nullable_shared:
         return left.join(right, on=shared, how=how)
@@ -2901,52 +2917,124 @@ def sparql_describe(quads: DataFrame, query: str) -> DataFrame:
 
 def sparql_update_template(
     quads: DataFrame, update: str
-) -> tuple[str, dict[str, DataFrame]]:
-    """Parse and solve a SPARQL 1.1 Update template form —
-    ``[PREFIX …] INSERT|DELETE { template } WHERE { group }`` (§3.1.3,
-    one template + one WHERE; the quad-data forms INSERT DATA / DELETE
-    DATA / DELETE WHERE live on the endpoint). Returns the form and, per
-    target graph, the instantiated quad rows as a distinct DataFrame
-    ``(subj, pred, obj, graph)`` — every template pattern must carry
-    ``GRAPH <uri>`` scope so the caller can route each batch to its
-    owning store. Solving + instantiation are pure DataFrame algebra;
-    committing through ``merge_df`` / ``delete_df`` keeps the whole
-    update distributed (no driver-side triple lists) — the rule-based
-    materialization path a KG pipeline uses for derived edges."""
+) -> list[tuple[str, dict[str, DataFrame]]]:
+    """Parse and solve the SPARQL 1.1 Update Modify form (§3.1.3) —
+    ``[PREFIX …] [WITH <g>] ( DELETE {t} [INSERT {t}] | INSERT {t} )
+    (USING [NAMED] <g>)* WHERE { group }`` (the quad-data forms INSERT
+    DATA / DELETE DATA / DELETE WHERE live on the endpoint). ``WITH``
+    supplies the GRAPH scope for un-scoped template patterns and the
+    WHERE default graph; ``USING [NAMED]`` mirrors ``FROM [NAMED]`` and
+    overrides WITH for the WHERE clause. Both templates instantiate
+    against the SAME solution set; the returned ops list orders DELETE
+    before INSERT per the spec — each op is (form, {graph uri →
+    distinct quad DataFrame}) so the caller can route batches to their
+    owning stores (materialize all batches before committing any:
+    committing the DELETE first would otherwise change what a lazy
+    INSERT batch scans). Solving + instantiation are pure DataFrame
+    algebra; committing through ``merge_df`` / ``delete_df`` keeps the
+    whole update distributed (no driver-side triple lists) — the
+    rule-based materialization path a KG pipeline uses for derived
+    edges."""
     p = _Parser(update)
     p.parse_prologue()
-    if p.at_kw("INSERT", "DELETE"):
-        form = p.next()[1].upper()
+    with_graph: str | None = None
+    if p.at_kw("WITH"):
+        # WITH <g> (§3.1.3): the graph for un-scoped template patterns,
+        # and the WHERE default graph when no USING clause appears
+        p.next()
+        kind, text = p.next()
+        if kind == "IRI":
+            with_graph = text[1:-1]
+        elif kind == "PNAME":
+            with_graph = p.expand_pname(text)[1:-1]
+        else:
+            raise SparqlSyntaxError(f"WITH needs an IRI, got {text!r}")
+    templates: list[tuple[str, Group]] = []
+    if p.at_kw("DELETE"):
+        p.next()
+        templates.append(("DELETE", p.parse_group()))
+        if p.at_kw("INSERT"):
+            p.next()
+            templates.append(("INSERT", p.parse_group()))
+    elif p.at_kw("INSERT"):
+        p.next()
+        templates.append(("INSERT", p.parse_group()))
     else:
         raise SparqlSyntaxError("expected INSERT or DELETE template update")
-    template = p.parse_group()
-    if not template.is_plain_triples():
-        raise SparqlSyntaxError("update template must be a plain triple block")
+    # USING [NAMED] <g> mirrors FROM [NAMED] for the WHERE clause and
+    # overrides WITH's default graph (§3.1.3)
+    using = _Dataset()
+    has_using = False
+    while p.at_kw("USING"):
+        has_using = True
+        p.next()
+        is_named = False
+        if p.at_kw("NAMED"):
+            p.next()
+            is_named = True
+        kind, text = p.next()
+        if kind == "IRI":
+            iri = text[1:-1]
+        elif kind == "PNAME":
+            iri = p.expand_pname(text)[1:-1]
+        else:
+            raise SparqlSyntaxError(f"USING needs an IRI, got {text!r}")
+        if is_named:
+            if using.named is None:
+                using.named = []
+            using.named.append(iri)
+        else:
+            using.append(iri)
+    if using and using.named is None:
+        using.named = []
     p.expect_kw("WHERE")
     group = p.parse_group()
     if p.peek() is not None:
         raise SparqlSyntaxError(f"trailing tokens at {p.peek()}")
-    sol = _compile_group(quads, group, [])
+    if has_using:
+        dataset: list[str] = using
+    elif with_graph is not None:
+        dataset = [with_graph]
+    else:
+        dataset = []
+    sol = _compile_group(quads, group, dataset)
     cols = set(sol.columns)
-    by_graph: dict[str, DataFrame] = {}
-    for pat in template.patterns:
-        if pat.g is None or pat.g[0] != "term":
+    ops: list[tuple[str, dict[str, DataFrame]]] = []
+    for form, template in templates:
+        if not template.is_plain_triples():
             raise SparqlSyntaxError(
-                f"{form} template patterns need GRAPH <uri> scope"
+                "update template must be a plain triple block"
             )
-        guri = pat.g[1]
-        row = []
-        for (kind, val), name in ((pat.s, "subj"), (pat.p, "pred"), (pat.o, "obj")):
-            if kind == "term":
-                row.append(F.lit(val).alias(name))
-            elif val not in cols:
-                raise SparqlSyntaxError(f"template references unbound ?{val}")
+        by_graph: dict[str, DataFrame] = {}
+        for pat in template.patterns:
+            if pat.g is not None and pat.g[0] == "term":
+                guri = pat.g[1]
+            elif pat.g is None and with_graph is not None:
+                guri = with_graph
             else:
-                row.append(F.col(val).alias(name))
-        inst = sol.select(*row).na.drop().withColumn("graph", F.lit(guri))
-        prev = by_graph.get(guri)
-        by_graph[guri] = inst if prev is None else prev.unionByName(inst)
-    return form, {g: df.distinct() for g, df in by_graph.items()}
+                raise SparqlSyntaxError(
+                    f"{form} template patterns need GRAPH <uri> scope"
+                    " (or a WITH <g> clause)"
+                )
+            row = []
+            for (kind, val), name in (
+                (pat.s, "subj"),
+                (pat.p, "pred"),
+                (pat.o, "obj"),
+            ):
+                if kind == "term":
+                    row.append(F.lit(val).alias(name))
+                elif val not in cols:
+                    raise SparqlSyntaxError(
+                        f"template references unbound ?{val}"
+                    )
+                else:
+                    row.append(F.col(val).alias(name))
+            inst = sol.select(*row).na.drop().withColumn("graph", F.lit(guri))
+            prev = by_graph.get(guri)
+            by_graph[guri] = inst if prev is None else prev.unionByName(inst)
+        ops.append((form, {g: df.distinct() for g, df in by_graph.items()}))
+    return ops
 
 
 def parse_group_text(text: str) -> Group:

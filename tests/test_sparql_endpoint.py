@@ -452,3 +452,80 @@ def test_graph_management_updates(spark):
     # COPY onto itself is a no-op
     ep.update("COPY <urn:dst> TO <urn:dst>")
     assert ep.store_for("urn:dst").size() == 2
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 Update: WITH / USING / combined DELETE+INSERT / LOAD
+# ---------------------------------------------------------------------------
+
+
+def test_with_clause_scopes_template_and_where(endpoint, client):
+    """WITH <g> supplies the GRAPH scope for un-scoped templates and the
+    WHERE default graph (§3.1.3)."""
+    U = GRAPH_URI
+    endpoint.update(
+        f"WITH <{U}> INSERT {{ ?o <{U}#seen> <{U}#yes> }} "
+        f"WHERE {{ <{U}> <{U}#rel-1> ?o }}"
+    )
+    got = client.get_all_matches("", mk_resource(f"{U}#seen"), "")
+    assert {t.subject for t in got} == {f"<{U}#a>", f"<{U}#b>", f"<{U}#c>"}
+
+
+def test_combined_delete_insert_same_solutions(endpoint, client):
+    """DELETE { } INSERT { } WHERE { }: both templates instantiate
+    against the SAME pre-update solutions — a rename executed as
+    delete-then-insert must not lose rows to the intermediate state."""
+    U = GRAPH_URI
+    endpoint.update(
+        f"WITH <{U}> DELETE {{ <{U}> <{U}#rel-1> ?o }} "
+        f"INSERT {{ <{U}> <{U}#renamed> ?o }} "
+        f"WHERE {{ <{U}> <{U}#rel-1> ?o }}"
+    )
+    assert client.get_all_matches("", mk_resource(f"{U}#rel-1"), "") == []
+    renamed = client.get_all_matches("", mk_resource(f"{U}#renamed"), "")
+    assert {t.object for t in renamed} == {f"<{U}#a>", f"<{U}#b>", f"<{U}#c>"}
+
+
+def test_using_overrides_with_for_where(endpoint, client):
+    """USING <g> mirrors FROM for the WHERE clause and overrides WITH:
+    a WHERE over an empty USING graph matches nothing even though the
+    WITH graph has data."""
+    U = GRAPH_URI
+    endpoint.store_for("urn:empty-using")  # managed but empty
+    endpoint.update(
+        f"WITH <{U}> INSERT {{ ?s <{U}#ghost> <{U}#yes> }} "
+        f"USING <urn:empty-using> WHERE {{ ?s <{U}#rel-1> ?o }}"
+    )
+    assert client.get_all_matches("", mk_resource(f"{U}#ghost"), "") == []
+
+
+def test_load_ntriples_and_nquads(endpoint, tmp_path):
+    """LOAD <doc> INTO GRAPH <g> (N-Triples) and LOAD <doc> (N-Quads,
+    each quad routed to its own named graph); SILENT swallows a missing
+    file."""
+    nt = tmp_path / "d.nt"
+    nt.write_text('<u:a> <u:p> "one" .\n<u:b> <u:p> "two" .\n')
+    endpoint.update(f"LOAD <file://{nt}> INTO GRAPH <urn:loaded>")
+    assert endpoint.client("urn:loaded").size() == 2
+    nq = tmp_path / "d.nq"
+    nq.write_text(
+        '<u:c> <u:p> "three" <urn:lg1> .\n<u:d> <u:p> "four" <urn:lg2> .\n'
+    )
+    endpoint.update(f"LOAD <file://{nq}>")
+    assert endpoint.client("urn:lg1").size() == 1
+    assert endpoint.client("urn:lg2").size() == 1
+    # SILENT: missing file leaves stores unchanged, no error
+    endpoint.update(f"LOAD SILENT <file://{tmp_path}/missing.nt> INTO GRAPH <urn:loaded>")
+    assert endpoint.client("urn:loaded").size() == 2
+    with pytest.raises(SparqlSyntaxError):
+        endpoint.update(f"LOAD <file://{tmp_path}/missing.nt> INTO GRAPH <urn:loaded>")
+
+
+def test_create_graph(endpoint):
+    """CREATE [SILENT] GRAPH <g> (§3.2.1): manage the graph; duplicate
+    is an error unless SILENT."""
+    endpoint.update("CREATE GRAPH <urn:made>")
+    assert endpoint.client("urn:made").size() == 0
+    with pytest.raises(SparqlSyntaxError, match="already exists"):
+        endpoint.update("CREATE GRAPH <urn:made>")
+    endpoint.update("CREATE SILENT GRAPH <urn:made>")  # no-op

@@ -265,6 +265,52 @@ def test_turtle_pretty_golden(spark):
     )
 
 
+def test_turtle_pretty_reference_quirks(spark):
+    """Two byte-level behaviors transcribed from memory_store.go:
+    (1) the blank-line pass is a bare ``strings.Replace(content, " .",
+    " .\\n\\n", -1)`` — it fires INSIDE literals too, so a literal
+    containing ``" ."`` gets split exactly like the reference splits it;
+    (2) CURIE rewriting applies per-prefix in map order — insertion
+    order here (deterministic, unlike Go's randomized walk) — so when
+    one namespace textually contains another, the earlier-inserted
+    prefix wins for URIs it matches first."""
+    uri = "https://www.ontograph.com/quirks"
+    s = MemoryQuadStore(spark, uri)
+    s.add_triples(
+        [
+            new_triple(
+                mk_resource(uri),
+                mk_resource("http://www.w3.org/2002/07/owl#imports"),
+                mk_resource("https://deps.example/base"),
+            ),
+            new_triple(
+                mk_resource(uri),
+                mk_resource("http://www.w3.org/2002/07/owl#imports"),
+                mk_resource("https://deps.example/base/sub"),
+            ),
+            new_triple(
+                mk_resource(f"{uri}#n"),
+                mk_resource("https://deps.example/base/sub#rel"),
+                mk_literal("ends with a dot .", "", ""),
+            ),
+        ]
+    )
+    buf = io.StringIO()
+    s.serialize_to_turtle(buf, pretty=True)
+    text = buf.getvalue()
+    # (1) the literal's " ." was split by the blank-line pass, exactly
+    # like strings.Replace would
+    assert '"ends with a dot .\n\n"' in text
+    # (2) both imports got prefixes (abbr = segment after last '/');
+    # the sub namespace URI rewrote with its own prefix (the base
+    # prefix "https://deps.example/base#" is not a textual prefix of
+    # "https://deps.example/base/sub#rel", so no contest on this pair —
+    # pin that both CURIEs appear)
+    assert "@prefix base: <https://deps.example/base#> .\n" in text
+    assert "@prefix sub: <https://deps.example/base/sub#> .\n" in text
+    assert "sub:rel" in text
+
+
 def test_graphs_listing(store):
     """GetGraphs analogue (blazegraph_endpoint.go:158-175)."""
     assert store.graphs() == [GRAPH_URI]
