@@ -296,6 +296,14 @@ class Group:
     #: SERVICE blocks (SPARQL 1.1 Federation): (endpoint IRI, body,
     #: silent) — evaluated on the remote endpoint, joined as bindings
     services: list[tuple[str, "Group", bool]] = field(default_factory=list)
+    #: the ORDER-SENSITIVE elements (SPARQL §18.2.2.6: Extend/LeftJoin/
+    #: Minus apply in textual sequence) as ("bind"|"optional"|"minus",
+    #: payload, cut) where cut snapshots the freely-reorderable element
+    #: lists at the element's textual position; the binds/optionals/
+    #: minuses lists above stay populated (shape checks, serializers)
+    events: list[tuple[str, object, tuple[int, ...]]] = field(
+        default_factory=list
+    )
 
     def is_plain_triples(self) -> bool:
         """True when the group is a bare triple block (CONSTRUCT
@@ -314,10 +322,11 @@ class Group:
 
 
 def _group_cut(g: "Group") -> tuple[int, ...]:
-    """A snapshot of the group's joinable-element list lengths — the
-    textual position marker stored with each BIND (patterns, paths,
-    values, services, unions, subqueries, optionals; FILTERs are
-    group-scoped per §17.2 and never cut)."""
+    """A snapshot of the group's freely-reorderable element list lengths
+    (patterns, paths, values, services, unions, subqueries — all Join
+    operands, commutative per §18.2.2.6) — the textual position marker
+    stored with each order-sensitive event (BIND/OPTIONAL/MINUS).
+    FILTERs are group-scoped per §17.2 and never cut."""
     return (
         len(g.patterns),
         len(g.paths),
@@ -325,7 +334,6 @@ def _group_cut(g: "Group") -> tuple[int, ...]:
         len(g.services),
         len(g.unions),
         len(g.subqueries),
-        len(g.optionals),
     )
 
 
@@ -961,7 +969,8 @@ class _Parser:
                 # before the cut join first, then the BIND extends, then
                 # parsing continues — SPARQL's left-to-right Extend
                 # semantics (§18.2.2.6)
-                g.binds.append((text[1:], expr, _group_cut(g)))
+                g.binds.append((text[1:], expr))
+                g.events.append(("bind", (text[1:], expr), _group_cut(g)))
             elif self.at_kw("VALUES"):
                 self.next()
                 g.values.append(self._parse_values())
@@ -981,10 +990,16 @@ class _Parser:
                 g.services.append((slot[1][1:-1], self.parse_group(), silent))
             elif self.at_kw("OPTIONAL"):
                 self.next()
-                g.optionals.append(self.parse_group(graph=graph))
+                cut = _group_cut(g)
+                og = self.parse_group(graph=graph)
+                g.optionals.append(og)
+                g.events.append(("optional", og, cut))
             elif self.at_kw("MINUS"):
                 self.next()
-                g.minuses.append(self.parse_group(graph=graph))
+                cut = _group_cut(g)
+                mg = self.parse_group(graph=graph)
+                g.minuses.append(mg)
+                g.events.append(("minus", mg, cut))
             elif self.at_op("{") and self._next_is_select():
                 # { SELECT … } subquery (SPARQL 1.1 §12): parsed with the
                 # shared prologue, evaluated bottom-up, joined on its
@@ -1075,22 +1090,23 @@ class _Parser:
 
     @staticmethod
     def _merge(g: Group, inner: Group) -> None:
-        # inner BIND cuts are relative to the inner group's lists;
+        # inner event cuts are relative to the inner group's lists;
         # shift them by the outer group's current lengths
         offs = _group_cut(g)
         g.patterns.extend(inner.patterns)
         g.paths.extend(inner.paths)
         g.filters.extend(inner.filters)
-        g.binds.extend(
-            (v, e, tuple(c + o for c, o in zip(cut, offs)))
-            for v, e, cut in inner.binds
-        )
+        g.binds.extend(inner.binds)
         g.optionals.extend(inner.optionals)
         g.unions.extend(inner.unions)
         g.minuses.extend(inner.minuses)
         g.values.extend(inner.values)
         g.subqueries.extend(inner.subqueries)
         g.services.extend(inner.services)
+        g.events.extend(
+            (kind, payload, tuple(c + o for c, o in zip(cut, offs)))
+            for kind, payload, cut in inner.events
+        )
 
     def _parse_triples_block(self, g: Group, graph: Slot | None) -> None:
         subj = self.parse_slot()
@@ -2356,7 +2372,7 @@ def _compile_group_nn(
     unbound-compatibility rule instead of a plain equi join."""
     df: DataFrame | None = None
     nullable: set[str] = set()
-    consumed = [0, 0, 0, 0, 0, 0, 0]
+    consumed = [0, 0, 0, 0, 0, 0]
 
     def _join_elements(cut: tuple[int, ...]) -> None:
         """Join the group elements between the last cut and ``cut`` into
@@ -2365,7 +2381,7 @@ def _compile_group_nn(
         one BGP), so triple patterns keep the greedy selectivity
         ordering WITHIN each segment; only BIND positions cut."""
         nonlocal df, nullable
-        p_end, pa_end, v_end, s_end, u_end, q_end, o_end = cut
+        p_end, pa_end, v_end, s_end, u_end, q_end = cut
         for pat in _order_patterns(g.patterns[consumed[0] : p_end]):
             scan = _scan(quads, pat, dataset)
             df = scan if df is None else _join_shared(df, scan, lnull=nullable)
@@ -2451,35 +2467,62 @@ def _compile_group_nn(
                 if df is None
                 else _join_shared(df, sdf, lnull=nullable, rnull=snull)
             )
-        for opt in g.optionals[consumed[6] : o_end]:
+        consumed[:] = cut
+
+    for kind, payload, cut in g.events:
+        # SPARQL §18.2.2.6: Extend (BIND), LeftJoin (OPTIONAL) and Minus
+        # apply IN TEXTUAL SEQUENCE — everything before the event joins
+        # first, the event transforms those solutions, and later
+        # elements continue from the result. Join operands between two
+        # events stay freely reorderable.
+        _join_elements(cut)
+        if kind == "bind":
+            var, expr = payload
+            if df is None:
+                # BIND as the group's first element extends the empty
+                # solution: one row carrying just the bound value
+                df = quads.sparkSession.range(1).select(
+                    _bind_value(expr, set()).alias(var)
+                )
+            else:
+                if var in df.columns:
+                    raise SparqlSyntaxError(
+                        f"BIND reassigns already-bound ?{var}"
+                    )
+                df = df.withColumn(var, _bind_value(expr, set(df.columns)))
+            nullable.add(var)
+        elif kind == "optional":
             if df is None:
                 raise SparqlSyntaxError(
                     "OPTIONAL cannot be the first element of a group"
                 )
-            odf, onull = _compile_group_nn(quads, opt, dataset)
+            odf, onull = _compile_group_nn(quads, payload, dataset)
             right_vars = {c for c in odf.columns if c != "__exists__"}
             new_vars = right_vars - set(df.columns)
             df = _join_shared(df, odf, how="left", lnull=nullable, rnull=onull)
             nullable |= onull | new_vars
-        consumed[:] = cut
-
-    for var, expr, bind_cut in g.binds:
-        # SPARQL §18.2.2.6 Extend: everything textually before the BIND
-        # joins first, the expression evaluates over THOSE solutions,
-        # and the elements after it (which may join on the bound var)
-        # continue from the extended set
-        _join_elements(bind_cut)
-        if df is None:
-            # BIND as the group's first element extends the empty
-            # solution: one row carrying just the bound value
-            df = quads.sparkSession.range(1).select(
-                _bind_value(expr, set()).alias(var)
-            )
-        else:
-            if var in df.columns:
-                raise SparqlSyntaxError(f"BIND reassigns already-bound ?{var}")
-            df = df.withColumn(var, _bind_value(expr, set(df.columns)))
-        nullable.add(var)
+        else:  # minus
+            if df is None:
+                # Minus(Z, M) over the join identity removes nothing
+                # (the empty solution shares no domain variable with
+                # anything) — a textually-first MINUS is a spec no-op
+                continue
+            mdf, mnull = _compile_group_nn(quads, payload, dataset)
+            shared = [
+                c
+                for c in df.columns
+                if c in set(mdf.columns) and c != "__exists__"
+            ]
+            if shared:
+                # SPARQL §8.3: remove solutions with a compatible
+                # solution in the MINUS side that shares ≥1 domain
+                # variable; disjoint domains remove nothing (hence the
+                # shared guard — the EXISTS global-probe fallback must
+                # not apply here)
+                df = _exists_join(
+                    df, mdf, "left_anti", nullable, mnull,
+                    require_overlap=True,
+                )
     _join_elements(_group_cut(g))
     if df is None:
         raise SparqlSyntaxError("empty group graph pattern")
@@ -2500,19 +2543,6 @@ def _compile_group_nn(
         df = df.where(_compile_expr(expr, set(df.columns)))
     if counter[0]:
         df = df.drop(*[f"__ex{i}__" for i in range(counter[0])])
-    for minus in g.minuses:
-        mdf, mnull = _compile_group_nn(quads, minus, dataset)
-        shared = [
-            c for c in df.columns if c in set(mdf.columns) and c != "__exists__"
-        ]
-        if shared:
-            # SPARQL §8.3: remove solutions with a compatible solution in
-            # the MINUS side that shares ≥1 domain variable; disjoint
-            # domains remove nothing (hence the shared guard — the
-            # EXISTS global-probe fallback must not apply here)
-            df = _exists_join(
-                df, mdf, "left_anti", nullable, mnull, require_overlap=True
-            )
     if "__exists__" in df.columns and len(df.columns) > 1:
         df = df.drop("__exists__")
     return df, nullable

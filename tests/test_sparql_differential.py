@@ -199,33 +199,40 @@ def test_paths_match_naive_closure(spark):
 
 
 def test_minus_matches_naive_setminus(spark):
-    """SPARQL §8.3: drop left solutions having a compatible right
-    solution with ≥1 shared domain variable."""
+    """SPARQL §8.3 + §18.2.2.6: Minus applies AT ITS TEXTUAL POSITION —
+    drop the solutions built so far that have a compatible right
+    solution with ≥1 shared domain variable, then later patterns join
+    the survivors. The MINUS is inserted at a random cut."""
     for i, seed in enumerate(_seeds("minus")):
         rng = random.Random(seed)
         triples = _quads(rng)
         left = _bgp(rng)
         right = _bgp(rng, max_pats=2)
+        cut = rng.randint(1, len(left))
         lvars = sorted({v for p in left for k, v in p if k == "var"})
         q = (
             f"SELECT {' '.join('?' + v for v in lvars)} WHERE {{ "
-            + " ".join(_pat_text(p) for p in left)
+            + " ".join(_pat_text(p) for p in left[:cut])
             + " MINUS { "
             + " ".join(_pat_text(p) for p in right)
-            + " } }"
+            + " } "
+            + " ".join(_pat_text(p) for p in left[cut:])
+            + " }"
         )
-        lsol = naive_bgp(triples, left)
+        pre = naive_bgp(triples, left[:cut])
         rsol = naive_bgp(triples, right)
         keep = []
-        for mu in lsol:
+        for mu in pre:
             removed = False
             for nu in rsol:
                 shared = set(mu) & set(nu)
                 if shared and all(mu[v] == nu[v] for v in shared):
                     removed = True
                     break
-            keep.append(mu) if not removed else None
-        want = Counter(tuple(mu.get(v) for v in lvars) for mu in keep)
+            if not removed:
+                keep.append(mu)
+        full = naive_bgp(triples, left[cut:], start=keep)
+        want = Counter(tuple(mu.get(v) for v in lvars) for mu in full)
         got = _engine_bag(spark, triples, q, lvars)
         assert got == want, f"case {i} seed {seed}: {q!r} over {triples}"
 
@@ -335,6 +342,89 @@ def test_bind_position_matches_naive_left_to_right(spark):
         for mu in pre:
             mu[new] = _naive_str(mu[src])
         full = naive_bgp(triples, pats[cut:], start=pre)
+        want = Counter(tuple(mu.get(v) for v in out_vars) for mu in full)
+        got = _engine_bag(spark, triples, q, out_vars)
+        assert got == want, f"case {i} seed {seed}: {q!r} over {triples}"
+
+
+# ---------------------------------------------------------------------------
+# positional OPTIONAL
+# ---------------------------------------------------------------------------
+
+
+def naive_bgp_compat(triples, patterns, start):
+    """BGP extension over solutions that may carry unbound (None)
+    variables from an earlier left join: unbound is compatible with
+    anything and the surviving binding is the bound one (SPARQL's
+    compatibility rule, the engine's null-tolerant join)."""
+    sols = [dict(b) for b in start]
+    for pat in patterns:
+        ext = []
+        for b0 in sols:
+            for tr in triples:
+                b = dict(b0)
+                ok = True
+                for (kind, val), actual in zip(pat, tr):
+                    if kind == "term":
+                        if actual != val:
+                            ok = False
+                            break
+                    else:
+                        cur = b.get(val)
+                        if cur is None:
+                            b[val] = actual
+                        elif cur != actual:
+                            ok = False
+                            break
+                if ok:
+                    ext.append(b)
+        sols = ext
+    return sols
+
+
+def test_optional_position_matches_naive_leftjoin(spark):
+    """SPARQL §18.2.2.6 LeftJoin order: OPTIONAL inserted at a random
+    cut — patterns before it join, the optional left-joins THOSE
+    solutions, and patterns after it join the (possibly null-extended)
+    result with the unbound-compatibility rule."""
+    for i, seed in enumerate(_seeds("opt")):
+        rng = random.Random(seed)
+        triples = _quads(rng)
+        pats = _bgp(rng, max_pats=3)
+        cut = rng.randint(1, len(pats))
+        opt = _bgp(rng, max_pats=2)
+        out_vars = sorted(
+            {v for p in pats + opt for k, v in p if k == "var"}
+        )
+        q = (
+            f"SELECT {' '.join('?' + v for v in out_vars)} WHERE {{ "
+            + " ".join(_pat_text(p) for p in pats[:cut])
+            + " OPTIONAL { "
+            + " ".join(_pat_text(p) for p in opt)
+            + " } "
+            + " ".join(_pat_text(p) for p in pats[cut:])
+            + " }"
+        )
+        pre = naive_bgp(triples, pats[:cut])
+        rsol = naive_bgp(triples, opt)
+        rvars = {v for p in opt for k, v in p if k == "var"}
+        joined = []
+        for mu in pre:
+            matches = []
+            for nu in rsol:
+                shared = set(mu) & set(nu)
+                if all(mu[v] == nu[v] for v in shared):
+                    merged = dict(mu)
+                    merged.update(nu)
+                    matches.append(merged)
+            if matches:
+                joined.extend(matches)
+            else:
+                e = dict(mu)
+                for v in rvars - set(mu):
+                    e[v] = None
+                joined.append(e)
+        full = naive_bgp_compat(triples, pats[cut:], start=joined)
         want = Counter(tuple(mu.get(v) for v in out_vars) for mu in full)
         got = _engine_bag(spark, triples, q, out_vars)
         assert got == want, f"case {i} seed {seed}: {q!r} over {triples}"

@@ -1774,3 +1774,68 @@ def test_bind_between_patterns_masks_only_prior_bindings(spark):
     )
     got = [tuple(r) for r in sparql_select(df, q).collect()]
     assert got == [('"1"', '"12"')]
+
+
+def test_optional_position_pattern_after_joins_extended_set(spark):
+    """SPARQL §18.2.2.6 LeftJoin order: a pattern AFTER the OPTIONAL
+    joins against the left-joined (possibly-null-extended) solutions —
+    so it constrains the optional variable where bound, and the
+    unbound-compatibility rule applies where not."""
+    rows = [
+        ("<u:a>", "<u:name>", '"x"', "g"),
+        ("<u:b>", "<u:name>", '"y"', "g"),
+        ("<u:a>", "<u:opt>", "<u:v1>", "g"),
+        ("<u:v1>", "<u:flag>", '"on"', "g"),
+        ("<u:v2>", "<u:flag>", '"on"', "g"),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string"
+    )
+    q = (
+        "SELECT ?s ?v WHERE { ?s <u:name> ?n "
+        "OPTIONAL { ?s <u:opt> ?v } "
+        "?v <u:flag> \"on\" }"
+    )
+    got = sorted(tuple(r) for r in sparql_select(df, q).collect())
+    # <u:a>: v bound to v1, which has the flag -> kept with v1.
+    # <u:b>: v unbound -> compatible with both flag subjects (the
+    # unbound-compat join) -> two solutions with v taking each value.
+    assert got == [
+        ("<u:a>", "<u:v1>"),
+        ("<u:b>", "<u:v1>"),
+        ("<u:b>", "<u:v2>"),
+    ]
+
+
+def test_minus_position_scopes_shared_domain(spark):
+    """Positional MINUS: the removal applies to the solutions built
+    BEFORE it. A MINUS whose group shares a variable only with a LATER
+    pattern removes nothing (disjoint domains at its position), whereas
+    the same MINUS written after that pattern removes matching rows."""
+    rows = [
+        ("<u:a>", "<u:p>", '"1"', "g"),
+        ("<u:b>", "<u:p>", '"2"', "g"),
+        ("<u:a>", "<u:q>", "<u:k>", "g"),
+        ("<u:b>", "<u:q>", "<u:k2>", "g"),
+        ("<u:x>", "<u:r>", "<u:k>", "g"),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string"
+    )
+    early = (
+        "SELECT ?s ?k WHERE { ?s <u:p> ?o "
+        "MINUS { ?z <u:r> ?k } "
+        "?s <u:q> ?k }"
+    )
+    # at the MINUS position only ?s/?o are bound: no shared domain with
+    # {?z ?k} -> removes nothing; both rows survive and join their ?k
+    got_early = sorted(tuple(r) for r in sparql_select(df, early).collect())
+    assert got_early == [("<u:a>", "<u:k>"), ("<u:b>", "<u:k2>")]
+    late = (
+        "SELECT ?s ?k WHERE { ?s <u:p> ?o ?s <u:q> ?k "
+        "MINUS { ?z <u:r> ?k } }"
+    )
+    # now ?k is bound before the MINUS: <u:a>'s k=<u:k> matches the
+    # minus side and is removed
+    got_late = sorted(tuple(r) for r in sparql_select(df, late).collect())
+    assert got_late == [("<u:b>", "<u:k2>")]

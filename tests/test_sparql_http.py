@@ -233,6 +233,9 @@ def test_service_silent_swallows_dead_endpoint(spark):
 
 
 def test_service_body_restriction_raises(spark):
+    """Triple blocks, FILTER and OPTIONAL ship to the remote endpoint;
+    the still-unshippable shapes (UNION/MINUS/BIND/VALUES/subqueries)
+    raise loudly instead of answering wrong."""
     from ontograph_spark.query import sparql_select
     from ontograph_spark.query.sparql import SparqlSyntaxError
 
@@ -244,7 +247,7 @@ def test_service_body_restriction_raises(spark):
         sparql_select(
             local,
             "SELECT ?s WHERE { SERVICE <http://x/sparql> { "
-            "?s <u:q> ?z . FILTER(?z > 3) } }",
+            "{ ?s <u:q> ?z } UNION { ?s <u:r> ?z } } }",
         ).collect()
 
 
