@@ -2980,12 +2980,18 @@ def sparql_update_template(
         else:
             raise SparqlSyntaxError(f"WITH needs an IRI, got {text!r}")
     templates: list[tuple[str, Group]] = []
+    delete_where_shorthand = False
     if p.at_kw("DELETE"):
         p.next()
-        templates.append(("DELETE", p.parse_group()))
-        if p.at_kw("INSERT"):
-            p.next()
-            templates.append(("INSERT", p.parse_group()))
+        if p.at_kw("WHERE"):
+            # DELETE WHERE { … } shorthand (§3.1.3.3): the WHERE group
+            # doubles as the delete template — parsed below
+            delete_where_shorthand = True
+        else:
+            templates.append(("DELETE", p.parse_group()))
+            if p.at_kw("INSERT"):
+                p.next()
+                templates.append(("INSERT", p.parse_group()))
     elif p.at_kw("INSERT"):
         p.next()
         templates.append(("INSERT", p.parse_group()))
@@ -3021,6 +3027,12 @@ def sparql_update_template(
     group = p.parse_group()
     if p.peek() is not None:
         raise SparqlSyntaxError(f"trailing tokens at {p.peek()}")
+    if delete_where_shorthand:
+        if not group.is_plain_triples():
+            raise SparqlSyntaxError(
+                "DELETE WHERE shorthand needs a plain triple block"
+            )
+        templates.append(("DELETE", group))
     if has_using:
         dataset: list[str] = using
     elif with_graph is not None:

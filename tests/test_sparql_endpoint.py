@@ -529,3 +529,13 @@ def test_create_graph(endpoint):
     with pytest.raises(SparqlSyntaxError, match="already exists"):
         endpoint.update("CREATE GRAPH <urn:made>")
     endpoint.update("CREATE SILENT GRAPH <urn:made>")  # no-op
+
+
+def test_with_delete_where_shorthand(endpoint, client):
+    """WITH <g> DELETE WHERE { pattern } (§3.1.3.3): the WHERE group
+    doubles as the delete template, scoped by WITH."""
+    U = GRAPH_URI
+    assert client.size() == 7
+    endpoint.update(f"WITH <{U}> DELETE WHERE {{ ?s <{U}#rel-1> ?o }}")
+    assert client.get_all_matches("", mk_resource(f"{U}#rel-1"), "") == []
+    assert client.size() == 4
