@@ -2552,6 +2552,38 @@ SELECT pred, count(*) AS n FROM post GROUP BY pred
 """
 
 
+def q_docs_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-fit unigram LM score per document
+    (functions/text.py:unigram_logprob) — the perplexity-proxy quality
+    signal: per-word ln-prob micro-scaled to BIGINT before the per-doc
+    sum, so the aggregate is integer-exact across engines. One
+    word-keyed shuffle shared by the vocab aggregate and the join; the
+    corpus totals ride a broadcast one-row frame."""
+    from ontograph_spark.functions.text import unigram_logprob
+
+    docs = _read(spark, sf_dir, "documents")
+    return unigram_logprob(docs).select(
+        F.col("id").alias("doc_id"), "n_tokens", "logprob_micro"
+    )
+
+
+_SQL_DOCS_UNIGRAM_LM = r"""
+WITH toks AS (
+  SELECT doc_id, u.t AS w
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE u.t <> ''
+),
+dw AS (SELECT doc_id, w, count(*) AS c_dw FROM toks GROUP BY doc_id, w),
+vocab AS (SELECT w, sum(c_dw) AS c_w FROM dw GROUP BY w),
+tot AS (SELECT sum(c_w) AS n_total, count(*) AS v_size FROM vocab)
+SELECT dw.doc_id,
+       CAST(sum(c_dw) AS BIGINT) AS n_tokens,
+       CAST(sum(c_dw * CAST(round(ln((c_w + 1.0) / (n_total + 1.0 * v_size)) * 1000000) AS BIGINT)) AS BIGINT) AS logprob_micro
+FROM dw JOIN vocab USING (w) CROSS JOIN tot
+GROUP BY dw.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2598,6 +2630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_keep": q_docs_dedup_keep,
         "kg_rdfs_closure": q_kg_rdfs_closure,
         "sparql_update_modify": q_sparql_update_modify,
+        "docs_unigram_lm": q_docs_unigram_lm,
         "kg_flagship": q_kg_flagship,
         "match_pattern": q_match_pattern,
         "subject_probe": q_subject_probe,
@@ -2723,6 +2756,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_funcs": _SQL_SPARQL_FUNCS,
         "sparql_arith": _SQL_SPARQL_ARITH,
         "sparql_update_modify": _SQL_SPARQL_UPDATE_MODIFY,
+        "docs_unigram_lm": _SQL_DOCS_UNIGRAM_LM,
         # multimodal: the Arrow mapInPandas stages aren't SQL-expressible,
         # but their input is a deterministic fixed-size synth table, so
         # the rollups are golden VALUES pins (derived in pure Python,

@@ -237,3 +237,64 @@ def contamination_pairs(
         .groupBy(id_col, probe_id_col)
         .agg(F.count("*").alias("shared_ngrams"))
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Corpus-fit unigram language-model score per document — the
+    classic perplexity-proxy quality signal (documents whose words are
+    improbable under the corpus's own unigram distribution are noise /
+    boilerplate / wrong-language candidates).
+
+    Returns ``(doc_id, n_tokens, logprob_micro)`` where
+    ``logprob_micro = Σ_w c_dw · round(ln((c_w + s)/(N + s·V)) · 1e6)``
+    (Laplace smoothing ``s``; ``c_w`` corpus count, ``N`` corpus token
+    total, ``V`` vocabulary size). The per-word log-prob is micro-scaled
+    to a BIGINT **before** the per-document sum, so the aggregate is
+    integer arithmetic — order-independent and engine-exact (the same
+    trick as tfidf_top_terms' milli-scaled score). Mean log-prob =
+    logprob_micro / (1e6 · n_tokens) when a float is wanted.
+
+    100 TB plan shape: explode → map-side-combined (doc, word) counts →
+    one word-keyed shuffle shared by the vocabulary aggregate and the
+    (doc,word)⋈vocab join (same key ⇒ exchange reuse) → a broadcast
+    one-row totals frame → doc-keyed final aggregate. No driver loop,
+    no collect; the vocabulary never materializes on the driver."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")).alias(
+            "w"
+        ),
+    ).where(F.col("w") != "")
+    dw = toks.groupBy("id", "w").agg(F.count(F.lit(1)).alias("c_dw"))
+    vocab = dw.groupBy("w").agg(F.sum("c_dw").alias("c_w"))
+    totals = vocab.agg(
+        F.sum("c_w").alias("n_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    scored = (
+        dw.join(vocab, "w")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "id",
+            "c_dw",
+            F.round(
+                F.log(
+                    (F.col("c_w") + F.lit(smoothing))
+                    / (F.col("n_total") + F.lit(smoothing) * F.col("v_size"))
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("lp_micro"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.sum("c_dw").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("c_dw") * F.col("lp_micro"))
+        .cast("bigint")
+        .alias("logprob_micro"),
+    )

@@ -786,3 +786,26 @@ def test_filter_funnel(spark):
         "bad_lang": (2, 1),
         "kept": (0, 2),
     }
+
+
+def test_unigram_logprob(spark):
+    """Corpus-fit unigram LM: hand-computed micro-scaled log-probs on a
+    3-doc corpus; repeated words weight the sum by count."""
+    import math
+
+    from ontograph_spark.functions.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "b")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["id"]: (r["n_tokens"], r["logprob_micro"])
+        for r in unigram_logprob(docs).collect()
+    }
+    # corpus counts: a=3, b=2, c=1; N=6, V=3; smoothed p_w=(c+1)/(6+3)
+    lp = {w: round(math.log((c + 1) / 9.0) * 1e6) for w, c in
+          {"a": 3, "b": 2, "c": 1}.items()}
+    assert rows[1] == (3, 2 * lp["a"] + lp["b"])
+    assert rows[2] == (2, lp["a"] + lp["c"])
+    assert rows[3] == (1, lp["b"])
