@@ -2584,6 +2584,61 @@ GROUP BY dw.doc_id
 """
 
 
+def q_docs_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights for domain mixing
+    (functions/sampling.py:importance_weights): every document scored
+    by how `src18`-like its hashed-unigram distribution is. Buckets use
+    the cross-engine md5 60-bit hash; per-bucket log-ratios are
+    micro-scaled to BIGINT before the per-doc sum (integer-exact across
+    engines). Both corpus profiles reduce to 4096-row broadcastable
+    count tables."""
+    from ontograph_spark.functions.sampling import importance_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    return importance_weights(
+        docs, docs.where(F.col("source") == "src18")
+    ).select(F.col("id").alias("doc_id"), "n_tokens", "weight_micro")
+
+
+_SQL_DOCS_IMPORTANCE = r"""
+WITH src_toks AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(u.t || ':0'), 1, 15))::BIGINT % 4096 AS b
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE u.t <> ''
+),
+tgt_toks AS (
+  SELECT ('0x' || substring(md5(u.t || ':0'), 1, 15))::BIGINT % 4096 AS b
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE u.t <> '' AND source = 'src18'
+),
+buckets AS (SELECT range AS b FROM range(4096)),
+tgt_c AS (SELECT b, count(*) AS c_tgt FROM tgt_toks GROUP BY b),
+src_c AS (SELECT b, count(*) AS c_src FROM src_toks GROUP BY b),
+tot AS (
+  SELECT (SELECT count(*) FROM src_toks) AS n_src,
+         (SELECT count(*) FROM tgt_toks) AS n_tgt
+),
+ratio AS (
+  SELECT buckets.b,
+         CAST(round(ln(
+             ((coalesce(c_tgt, 0) + 1.0) / (n_tgt + 1.0 * 4096))
+             / ((coalesce(c_src, 0) + 1.0) / (n_src + 1.0 * 4096))
+         ) * 1000000) AS BIGINT) AS lr_micro
+  FROM buckets
+  LEFT JOIN tgt_c ON buckets.b = tgt_c.b
+  LEFT JOIN src_c ON buckets.b = src_c.b
+  CROSS JOIN tot
+),
+db AS (SELECT doc_id, b, count(*) AS c_db FROM src_toks GROUP BY doc_id, b)
+SELECT db.doc_id,
+       CAST(sum(c_db) AS BIGINT) AS n_tokens,
+       CAST(sum(c_db * lr_micro) AS BIGINT) AS weight_micro
+FROM db JOIN ratio ON db.b = ratio.b
+GROUP BY db.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2631,6 +2686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdfs_closure": q_kg_rdfs_closure,
         "sparql_update_modify": q_sparql_update_modify,
         "docs_unigram_lm": q_docs_unigram_lm,
+        "docs_importance": q_docs_importance,
         "kg_flagship": q_kg_flagship,
         "match_pattern": q_match_pattern,
         "subject_probe": q_subject_probe,
@@ -2757,6 +2813,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_arith": _SQL_SPARQL_ARITH,
         "sparql_update_modify": _SQL_SPARQL_UPDATE_MODIFY,
         "docs_unigram_lm": _SQL_DOCS_UNIGRAM_LM,
+        "docs_importance": _SQL_DOCS_IMPORTANCE,
         # multimodal: the Arrow mapInPandas stages aren't SQL-expressible,
         # but their input is a deterministic fixed-size synth table, so
         # the rollups are golden VALUES pins (derived in pure Python,

@@ -114,3 +114,94 @@ def pack_sequences(
     return with_b.withColumn("pack_offset", start.cast("long")).withColumn(
         "pack_id", F.floor(F.col("pack_offset") / F.lit(float(budget))).cast("long")
     )
+
+
+def importance_weights(
+    source: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 4096,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Data-selection importance weights (the hashed-n-gram
+    importance-resampling scheme of DSIR, Xie et al. 2023): score each
+    SOURCE document by how target-like its token distribution is.
+
+    Features are word unigrams hashed into ``num_buckets`` buckets with
+    the cross-engine 60-bit md5 hash (functions/dedup.py:h60, so the
+    contract oracle reproduces every bucket id exactly); the bucketed
+    smoothed unigram distributions ``p_tgt`` / ``p_src`` are estimated
+    from the target and source corpora, and a document's weight is
+
+        weight_micro = Σ_w c_dw · round(ln(p_tgt(b_w)/p_src(b_w)) · 1e6)
+
+    — the per-bucket log-ratio micro-scaled to BIGINT before the
+    per-document sum, so the aggregate is integer arithmetic
+    (order-independent, engine-exact). Downstream mixing resamples
+    source docs with probability ∝ exp(weight_micro/(1e6·n_tokens)).
+
+    100 TB plan shape: both corpora reduce to ``num_buckets``-row count
+    tables (map-side combined; broadcastable by construction since
+    num_buckets is a constant), the log-ratio table broadcast-joins the
+    source (doc, bucket) counts, and the final aggregate is doc-keyed.
+    The target corpus is typically a curated sliver; the source-side
+    pass is one explode + two hash aggregates."""
+    from ontograph_spark.functions.dedup import h60
+
+    def buckets(df: DataFrame, with_id: bool) -> DataFrame:
+        toks = df.select(
+            *( [F.col(id_col).alias("id")] if with_id else [] ),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")
+            ).alias("w"),
+        ).where(F.col("w") != "")
+        return toks.withColumn("b", F.pmod(h60(F.col("w"), 0), F.lit(num_buckets)))
+
+    tgt_counts = buckets(target, False).groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_tgt")
+    )
+    src_counts = buckets(source, False).groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_src")
+    )
+    all_b = source.sparkSession.range(num_buckets).select(
+        F.col("id").alias("b")
+    )
+    totals = (
+        all_b.join(tgt_counts, "b", "left")
+        .join(src_counts, "b", "left")
+        .select(
+            "b",
+            F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"),
+            F.coalesce("c_src", F.lit(0)).alias("c_src"),
+        )
+    )
+    n_t = F.sum("c_tgt").alias("n_tgt")
+    n_s = F.sum("c_src").alias("n_src")
+    tot = totals.agg(n_t, n_s)
+    ratio = (
+        totals.crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    ((F.col("c_tgt") + F.lit(smoothing))
+                     / (F.col("n_tgt") + F.lit(smoothing) * num_buckets))
+                    / ((F.col("c_src") + F.lit(smoothing))
+                       / (F.col("n_src") + F.lit(smoothing) * num_buckets))
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("lr_micro"),
+        )
+    )
+    doc_b = buckets(source, True).groupBy("id", "b").agg(
+        F.count(F.lit(1)).alias("c_db")
+    )
+    return doc_b.join(F.broadcast(ratio), "b").groupBy("id").agg(
+        F.sum("c_db").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("c_db") * F.col("lr_micro"))
+        .cast("bigint")
+        .alias("weight_micro"),
+    )

@@ -809,3 +809,49 @@ def test_unigram_logprob(spark):
     assert rows[1] == (3, 2 * lp["a"] + lp["b"])
     assert rows[2] == (2, lp["a"] + lp["c"])
     assert rows[3] == (1, lp["b"])
+
+
+def test_importance_weights(spark):
+    """DSIR-style weights: a doc matching the target domain scores
+    higher than one that doesn't; n_tokens counts source tokens; and
+    the weight equals the hand-folded bucket log-ratio sum."""
+    import math
+
+    from ontograph_spark.functions.dedup import MASK60
+    from ontograph_spark.functions.sampling import importance_weights
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "tgt"), (2, "gamma delta", "other")],
+        "doc_id long, text string, source string",
+    )
+    target = docs.where("source = 'tgt'")
+    rows = {
+        r["id"]: (r["n_tokens"], r["weight_micro"])
+        for r in importance_weights(docs, target, num_buckets=64).collect()
+    }
+
+    def bucket(w):
+        import hashlib
+
+        h = int(hashlib.md5(f"{w}:0".encode()).hexdigest()[:15], 16)
+        return h % 64
+
+    tgt_counts = {}
+    src_counts = {}
+    for w in ["alpha", "beta"]:
+        tgt_counts[bucket(w)] = tgt_counts.get(bucket(w), 0) + 1
+    for w in ["alpha", "beta", "gamma", "delta"]:
+        src_counts[bucket(w)] = src_counts.get(bucket(w), 0) + 1
+    n_t, n_s = 2, 4
+
+    def lr(b):
+        p_t = (tgt_counts.get(b, 0) + 1.0) / (n_t + 64.0)
+        p_s = (src_counts.get(b, 0) + 1.0) / (n_s + 64.0)
+        v = math.log(p_t / p_s) * 1e6
+        # Spark/DuckDB round half away from zero
+        return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+    for doc, words in ((1, ["alpha", "beta"]), (2, ["gamma", "delta"])):
+        want = sum(lr(bucket(w)) for w in words)
+        assert rows[doc] == (2, want), doc
+    assert rows[1][1] > rows[2][1]  # target-like doc scores higher
