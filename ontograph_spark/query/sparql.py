@@ -1595,6 +1595,25 @@ def _path_edges(quads: DataFrame, node: tuple, g, dataset) -> DataFrame:
     raise SparqlSyntaxError(f"unsupported path element {node!r}")
 
 
+def _path_nullable(node: tuple) -> bool:
+    """Does the path expression match the ZERO-length walk? (``*`` and
+    ``?`` do; a sequence of nullables does; an alternative with one
+    nullable branch does.) Drives the §18.4 ZeroLengthPath augmentation
+    for CONSTANT endpoints: a zero-length path relates a constant term
+    to itself even when the term never occurs in the graph, so the
+    graph-node domain baked into the pair relation is not enough."""
+    kind = node[0]
+    if kind in ("star", "zeroone"):
+        return True
+    if kind in ("inv", "plus"):
+        return _path_nullable(node[1])
+    if kind == "seq":
+        return all(_path_nullable(s) for s in node[1])
+    if kind == "alt":
+        return any(_path_nullable(b) for b in node[1])
+    return False  # link / neg
+
+
 def _graph_nodes(quads: DataFrame, g, dataset) -> DataFrame:
     """All subject/object terms of the scoped graph — the zero-length
     path's domain (SPARQL 1.1 §9.3: a zero-length path matches every
@@ -1695,7 +1714,28 @@ def _compile_path_pattern(
             proj.append(F.col("dst").alias(o_val))
         for c in conds:
             pairs = pairs.where(c)
-        return pairs.select(*proj)
+        out = pairs.select(*proj)
+        if _path_nullable(pp.path) and "term" in (s_kind, o_kind):
+            # §18.4 ZeroLengthPath with a constant endpoint: one
+            # zero-length solution per graph in scope, whether or not
+            # the term occurs there
+            graphs = (
+                _scoped(quads, pp.g, dataset)
+                .select(F.col("graph").alias(gname))
+                .distinct()
+            )
+            if s_kind == "term" and o_kind == "term":
+                if s_val == o_val:
+                    out = out.unionByName(graphs).distinct()
+            elif s_kind == "term":
+                out = out.unionByName(
+                    graphs.select(F.col(gname), F.lit(s_val).alias(o_val))
+                ).distinct()
+            else:
+                out = out.unionByName(
+                    graphs.select(F.col(gname), F.lit(o_val).alias(s_val))
+                ).distinct()
+        return out
     # seeded fast path: one constant endpoint on a closure path
     if kind in ("plus", "star") and s_kind == "term" and o_kind == "var":
         reach = _closure_from(
@@ -1723,9 +1763,27 @@ def _compile_path_pattern(
         proj.append(F.col("dst").alias(o_val))
     for c in conds:
         pairs = pairs.where(c)
+    zero_const = _path_nullable(pp.path) and "term" in (s_kind, o_kind)
+    spark = quads.sparkSession
     if not proj:
-        return pairs.select(F.lit(True).alias("__exists__")).limit(1)
-    return pairs.select(*proj)
+        out = pairs.select(F.lit(True).alias("__exists__")).limit(1)
+        if zero_const and s_val == o_val:
+            # <c> nullable-path <c> holds by the zero-length walk alone
+            out = out.unionByName(
+                spark.range(1).select(F.lit(True).alias("__exists__"))
+            ).limit(1)
+        return out
+    out = pairs.select(*proj)
+    if zero_const:
+        # §18.4 ZeroLengthPath: the constant endpoint relates to itself
+        # even when it never occurs in the graph (the graph-node domain
+        # in _path_edges covers only variable-variable endpoints)
+        const = s_val if s_kind == "term" else o_val
+        var = o_val if s_kind == "term" else s_val
+        out = out.unionByName(
+            spark.createDataFrame([(const,)], f"{var} string")
+        ).distinct()
+    return out
 
 
 # --------------------------------------------------------------------------

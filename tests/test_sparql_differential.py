@@ -183,13 +183,52 @@ def _rand_path(rng, depth=2):
 
 
 def test_paths_match_naive_closure(spark):
+    """Both the var-var form and the CONSTANT-anchored forms (subject
+    or object fixed) — the anchored forms compile to the engine's
+    SEEDED frontier closure, a distinct code path from the full
+    closure."""
     for i, seed in enumerate(_seeds("path")):
         rng = random.Random(seed)
         triples = _quads(rng)
         path = _rand_path(rng)
-        q = f"SELECT ?x ?y WHERE {{ ?x {_path_text(path)} ?y }}"
-        got = _engine_bag(spark, triples, q, ["x", "y"])
-        want = Counter(_naive_path_pairs(triples, path))
+        pairs = _naive_path_pairs(triples, path)
+
+        def nullable(p) -> bool:
+            # does the path match the zero-length walk? SPARQL §18.4
+            # ZeroLengthPath relates a CONSTANT term to itself even when
+            # the term does not occur in the graph
+            k = p[0]
+            if k in ("star", "opt"):
+                return True
+            if k == "seq":
+                return nullable(p[1]) and nullable(p[2])
+            if k == "alt":
+                return nullable(p[1]) or nullable(p[2])
+            if k in ("plus", "inv"):
+                return nullable(p[1])
+            return False
+
+        anchor = rng.random()
+        if anchor < 0.3:
+            const = rng.choice(SUBJECTS)
+            q = f"SELECT ?y WHERE {{ {const} {_path_text(path)} ?y }}"
+            got = _engine_bag(spark, triples, q, ["y"])
+            ys = {y for x, y in pairs if x == const}
+            if nullable(path):
+                ys.add(const)
+            want = Counter((y,) for y in ys)
+        elif anchor < 0.5:
+            const = rng.choice(SUBJECTS + OBJECTS[:3])
+            q = f"SELECT ?x WHERE {{ ?x {_path_text(path)} {const} }}"
+            got = _engine_bag(spark, triples, q, ["x"])
+            xs = {x for x, y in pairs if y == const}
+            if nullable(path):
+                xs.add(const)
+            want = Counter((x,) for x in xs)
+        else:
+            q = f"SELECT ?x ?y WHERE {{ ?x {_path_text(path)} ?y }}"
+            got = _engine_bag(spark, triples, q, ["x", "y"])
+            want = Counter(pairs)
         assert got == want, f"case {i} seed {seed}: {q!r} over {triples}"
 
 

@@ -1839,3 +1839,24 @@ def test_minus_position_scopes_shared_domain(spark):
     # minus side and is removed
     got_late = sorted(tuple(r) for r in sparql_select(df, late).collect())
     assert got_late == [("<u:b>", "<u:k2>")]
+
+
+def test_zero_length_path_constant_endpoints(spark):
+    """SPARQL §18.4 ZeroLengthPath: a nullable path relates a CONSTANT
+    term to itself even when the term never occurs in the graph — for
+    subject-anchored, object-anchored, and both-constant forms."""
+    df = spark.createDataFrame(
+        [("<u:a>", "<u:p>", "<u:b>", "g")],
+        "subj string, pred string, obj string, graph string",
+    )
+    # object-anchored ? over an absent constant: ?x binds to the term
+    got = [r[0] for r in sparql_select(
+        df, "SELECT ?x WHERE { ?x (<u:p>)? <u:zzz> }").collect()]
+    assert got == ["<u:zzz>"]
+    # subject-anchored * over an absent constant
+    got2 = [r[0] for r in sparql_select(
+        df, "SELECT ?y WHERE { <u:zzz> (<u:p>)* ?y }").collect()]
+    assert got2 == ["<u:zzz>"]
+    # both-constant: satisfied by the zero-length walk alone
+    assert sparql_ask(df, "ASK { <u:zzz> (<u:p>)* <u:zzz> }")
+    assert not sparql_ask(df, "ASK { <u:zzz> (<u:p>)+ <u:zzz> }")
