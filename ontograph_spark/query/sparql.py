@@ -2314,6 +2314,24 @@ def _compile_cmp(op: str, lhs, rhs, columns: set[str]) -> Column:
         mode = "term"
     lc = _cmp_side(lhs, mode, columns)
     rc = _cmp_side(rhs, mode, columns)
+    if op in ("<", "<=", ">", ">=") and mode == "term":
+        # SPARQL §17.3 operator mapping for ORDER comPARisons between
+        # two variables: numeric <op> numeric compares VALUES (a
+        # term-encoded "10" must exceed "9"), string literals compare
+        # their lexical forms, anything else (IRI vs IRI, mixed) is a
+        # type error ⇒ FALSE ⇒ row dropped. Term-string comparison
+        # stays only for = / != (RDF term equality).
+        ln = term_value_col(lc).try_cast("double")
+        rn = term_value_col(rc).try_cast("double")
+        lv = term_value_col(lc)
+        rv = term_value_col(rc)
+        num = {"<": ln < rn, "<=": ln <= rn, ">": ln > rn, ">=": ln >= rn}[op]
+        sv = {"<": lv < rv, "<=": lv <= rv, ">": lv > rv, ">=": lv >= rv}[op]
+        return (
+            F.when(ln.isNotNull() & rn.isNotNull(), num)
+            .when(lc.startswith('"') & rc.startswith('"'), sv)
+            .otherwise(F.lit(False))
+        )
     return {
         "=": lc == rc,
         "!=": lc != rc,

@@ -467,3 +467,79 @@ def test_optional_position_matches_naive_leftjoin(spark):
         want = Counter(tuple(mu.get(v) for v in out_vars) for mu in full)
         got = _engine_bag(spark, triples, q, out_vars)
         assert got == want, f"case {i} seed {seed}: {q!r} over {triples}"
+
+
+# ---------------------------------------------------------------------------
+# FILTER comparisons (var op var / var op constant)
+# ---------------------------------------------------------------------------
+
+CMP_OBJECTS = OBJECTS + [
+    '"9"^^<http://www.w3.org/2001/XMLSchema#integer>',
+    '"10"^^<http://www.w3.org/2001/XMLSchema#integer>',
+    '"2.5"^^<http://www.w3.org/2001/XMLSchema#decimal>',
+]
+
+
+def _numval(term):
+    if not term.startswith('"'):
+        return None
+    v = term[1 : term.find('"', 1)]
+    try:
+        return float(v)
+    except ValueError:
+        return None
+
+
+def _strval(term):
+    return term[1 : term.find('"', 1)]
+
+
+def naive_cmp(op, x, y):
+    """§17.3 operator mapping (the engine's documented convention):
+    = / != are RDF term equality; order comparisons are numeric by
+    VALUE when both sides parse numeric, lexical over the literal
+    values when both are literals, else a type error (False)."""
+    if op == "=":
+        return x == y
+    if op == "!=":
+        return x != y
+    xn, yn = _numval(x), _numval(y)
+    if xn is not None and yn is not None:
+        a, b = xn, yn
+    elif x.startswith('"') and y.startswith('"'):
+        a, b = _strval(x), _strval(y)
+    else:
+        return False
+    return {"<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b}[op]
+
+
+def test_filter_comparisons_match_naive(spark):
+    """Random BGP + FILTER(?a op ?b) with both vars bound by the
+    patterns: the engine's survivors must equal the naive evaluator's
+    under the value-aware operator mapping."""
+    ops = ["=", "!=", "<", "<=", ">", ">="]
+    for i, seed in enumerate(_seeds("cmp")):
+        rng = random.Random(seed)
+        n = rng.randint(1, 10)
+        triples = sorted({
+            (rng.choice(SUBJECTS), rng.choice(PREDS), rng.choice(CMP_OBJECTS))
+            for _ in range(n)
+        })
+        pats = [
+            ((("var", "x")), ("term", rng.choice(PREDS)), ("var", "a")),
+            ((("var", "x")), ("term", rng.choice(PREDS)), ("var", "b")),
+        ]
+        op = rng.choice(ops)
+        q = (
+            "SELECT ?x ?a ?b WHERE { "
+            + " ".join(_pat_text(p) for p in pats)
+            + f" FILTER(?a {op} ?b) }}"
+        )
+        sols = naive_bgp(triples, pats)
+        want = Counter(
+            (mu["x"], mu["a"], mu["b"])
+            for mu in sols
+            if naive_cmp(op, mu["a"], mu["b"])
+        )
+        got = _engine_bag(spark, triples, q, ["x", "a", "b"])
+        assert got == want, f"case {i} seed {seed}: {q!r} over {triples}"

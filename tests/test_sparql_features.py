@@ -1860,3 +1860,29 @@ def test_zero_length_path_constant_endpoints(spark):
     # both-constant: satisfied by the zero-length walk alone
     assert sparql_ask(df, "ASK { <u:zzz> (<u:p>)* <u:zzz> }")
     assert not sparql_ask(df, "ASK { <u:zzz> (<u:p>)+ <u:zzz> }")
+
+
+def test_filter_var_var_comparison_value_aware(spark):
+    """FILTER(?x > ?y) between two variables follows the §17.3 operator
+    mapping: numeric literals compare by VALUE (10 > 9), string
+    literals by lexical form, and IRI-vs-IRI ordering is a type error
+    (row dropped). = / != stay RDF term equality."""
+    df = spark.createDataFrame(
+        [
+            ("<u:a>", "<u:p>", '"10"^^<http://www.w3.org/2001/XMLSchema#integer>', "g"),
+            ("<u:a>", "<u:q>", '"9"^^<http://www.w3.org/2001/XMLSchema#integer>', "g"),
+            ("<u:b>", "<u:p>", '"alpha"', "g"),
+            ("<u:b>", "<u:q>", '"beta"', "g"),
+            ("<u:c>", "<u:p>", "<u:z1>", "g"),
+            ("<u:c>", "<u:q>", "<u:z2>", "g"),
+        ],
+        "subj string, pred string, obj string, graph string",
+    )
+    gt = "SELECT ?s WHERE { ?s <u:p> ?x . ?s <u:q> ?y FILTER(?x > ?y) }"
+    assert [r[0] for r in sparql_select(df, gt).collect()] == ["<u:a>"]
+    lt = "SELECT ?s WHERE { ?s <u:p> ?x . ?s <u:q> ?y FILTER(?x < ?y) }"
+    assert [r[0] for r in sparql_select(df, lt).collect()] == ["<u:b>"]
+    ne = "SELECT ?s WHERE { ?s <u:p> ?x . ?s <u:q> ?y FILTER(?x != ?y) }"
+    assert sorted(r[0] for r in sparql_select(df, ne).collect()) == [
+        "<u:a>", "<u:b>", "<u:c>",
+    ]
