@@ -1736,16 +1736,28 @@ def _compile_path_pattern(
                     graphs.select(F.col(gname), F.lit(o_val).alias(s_val))
                 ).distinct()
         return out
-    # seeded fast path: one constant endpoint on a closure path
+    # seeded fast path: one constant endpoint on a closure path.
+    # include_zero covers star AND a plus whose inner path is itself
+    # nullable — (p?)+ matches the zero-length walk too (§18.4)
     if kind in ("plus", "star") and s_kind == "term" and o_kind == "var":
         reach = _closure_from(
-            quads, s_val, pp.path[1], pp.g, dataset, include_zero=kind == "star"
+            quads,
+            s_val,
+            pp.path[1],
+            pp.g,
+            dataset,
+            include_zero=_path_nullable(pp.path),
         )
         return reach.select(F.col("node").alias(o_val))
     if kind in ("plus", "star") and o_kind == "term" and s_kind == "var":
         inv = ("inv", pp.path[1])
         reach = _closure_from(
-            quads, o_val, inv, pp.g, dataset, include_zero=kind == "star"
+            quads,
+            o_val,
+            inv,
+            pp.g,
+            dataset,
+            include_zero=_path_nullable(pp.path),
         )
         return reach.select(F.col("node").alias(s_val))
     pairs = _path_edges(quads, pp.path, pp.g, dataset)

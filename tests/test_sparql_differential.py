@@ -543,3 +543,52 @@ def test_filter_comparisons_match_naive(spark):
         )
         got = _engine_bag(spark, triples, q, ["x", "a", "b"])
         assert got == want, f"case {i} seed {seed}: {q!r} over {triples}"
+
+
+# ---------------------------------------------------------------------------
+# inline VALUES with UNDEF
+# ---------------------------------------------------------------------------
+
+
+def test_values_undef_matches_naive_compat_join(spark):
+    """A two-variable VALUES block with UNDEF cells inside the group:
+    the data block joins the BGP solutions under SPARQL's compatibility
+    rule (UNDEF matches anything and the bound side survives)."""
+    for i, seed in enumerate(_seeds("values")):
+        rng = random.Random(seed)
+        triples = _quads(rng)
+        pats = _bgp(rng, max_pats=2)
+        pvars = sorted({v for p in pats for k, v in p if k == "var"})
+        v1 = rng.choice(pvars)
+        v2 = "w"  # always one fresh variable
+        rows = []
+        for _ in range(rng.randint(1, 3)):
+            c1 = None if rng.random() < 0.3 else rng.choice(
+                SUBJECTS + OBJECTS
+            )
+            c2 = None if rng.random() < 0.3 else rng.choice(OBJECTS)
+            rows.append((c1, c2))
+        cells = " ".join(
+            "(" + (a or "UNDEF") + " " + (b or "UNDEF") + ")"
+            for a, b in rows
+        )
+        out_vars = sorted(set(pvars) | {v2})
+        q = (
+            f"SELECT {' '.join('?' + v for v in out_vars)} WHERE {{ "
+            + " ".join(_pat_text(p) for p in pats)
+            + f" VALUES (?{v1} ?{v2}) {{ {cells} }} }}"
+        )
+        sols = naive_bgp(triples, pats)
+        joined = []
+        for mu in sols:
+            for a, b in rows:
+                if a is not None and mu.get(v1) is not None and mu[v1] != a:
+                    continue
+                m = dict(mu)
+                if a is not None:
+                    m[v1] = a
+                m[v2] = b
+                joined.append(m)
+        want = Counter(tuple(m.get(v) for v in out_vars) for m in joined)
+        got = _engine_bag(spark, triples, q, out_vars)
+        assert got == want, f"case {i} seed {seed}: {q!r} over {triples}"
