@@ -783,13 +783,22 @@ def near_dup_keep(
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         mapping = [(n, find(n)) for n in parent]
+        # the take above materialized everything the driver path needs —
+        # release the cached partitions now (repeated calls in a
+        # long-lived session would otherwise accumulate until an
+        # external clearCache)
+        edges.unpersist()
         comp = df.sparkSession.createDataFrame(
             mapping or [], "node long, component long"
         )
     else:
         from ontograph_spark.pipeline.canon import connected_components
 
+        # connected_components eagerly localCheckpoints its first
+        # union-of-directions pass, so the returned labels no longer
+        # reference the edges lineage — safe to release here too
         comp = connected_components(edges)
+        edges.unpersist()
     out = (
         df.select(F.col(id_col).alias("id"))
         .join(

@@ -67,8 +67,11 @@ _UPDATE_RE = re.compile(
     re.S | re.I,
 )
 
+#: an IRIREF or a prefixed name (resolved via the update's prologue)
+_IRI_OR_PNAME = r"(?:<[^<>\s]+>|[A-Za-z_][\w-]*:[\w.-]+)"
+
 _CREATE_RE = re.compile(
-    r"\s*CREATE\s+(SILENT\s+)?GRAPH\s+<([^<>\s]+)>\s*$", re.I
+    rf"\s*CREATE\s+(SILENT\s+)?GRAPH\s+({_IRI_OR_PNAME})\s*$", re.I
 )
 
 _GRAPH_PAIR_RE = re.compile(
@@ -77,10 +80,45 @@ _GRAPH_PAIR_RE = re.compile(
 )
 
 _LOAD_RE = re.compile(
-    r"\s*LOAD\s+(SILENT\s+)?<([^<>\s]+)>"
-    r"(?:\s+INTO\s+GRAPH\s+<([^<>\s]+)>)?\s*$",
+    rf"\s*LOAD\s+(SILENT\s+)?({_IRI_OR_PNAME})"
+    rf"(?:\s+INTO\s+GRAPH\s+({_IRI_OR_PNAME}))?\s*$",
     re.I,
 )
+
+_PROLOGUE_RE = re.compile(
+    r"\s*(?:\#[^\n]*(?:\n|$)"
+    r"|BASE\s+<[^<>\s]*>"
+    r"|PREFIX\s+([A-Za-z_][\w-]*)?:\s*<([^<>\s]*)>)",
+    re.I,
+)
+
+
+def _strip_prologue(text: str) -> tuple[dict[str, str], str]:
+    """Strip leading comments and BASE/PREFIX declarations from an
+    update, returning the collected prefix map and the remaining text —
+    so 'PREFIX … CREATE GRAPH <g>' or a leading comment still routes to
+    the CREATE/LOAD fast forms instead of falling through to the Modify
+    template parser with an unrelated error."""
+    prefixes: dict[str, str] = {}
+    pos = 0
+    while True:
+        m = _PROLOGUE_RE.match(text, pos)
+        if m is None:
+            break
+        if m.group(2) is not None:
+            prefixes[m.group(1) or ""] = m.group(2)
+        pos = m.end()
+    return prefixes, text[pos:]
+
+
+def _resolve_iri(tok: str, prefixes: dict[str, str]) -> str:
+    """An ``<iri>`` or ``pfx:local`` token → the bare IRI text."""
+    if tok.startswith("<"):
+        return tok[1:-1]
+    pfx, local = tok.split(":", 1)
+    if pfx not in prefixes:
+        raise SparqlSyntaxError(f"unknown prefix {pfx!r} in {tok!r}")
+    return prefixes[pfx] + local
 
 
 def term_to_binding(term: str) -> dict:
@@ -198,23 +236,31 @@ class LocalSparqlEndpoint:
         WHERE group over the whole dataset and commit each target graph's
         instantiated batch distributed (merge_df / delete_df — no
         driver-side triple lists)."""
-        cm = _CREATE_RE.match(sparql)
+        prefixes, body = _strip_prologue(sparql)
+        cm = _CREATE_RE.match(body)
         if cm is not None:
             # CREATE [SILENT] GRAPH <g> (§3.2.1): make the graph managed;
             # an already-managed graph is an error unless SILENT
-            uri = cm.group(2)
+            uri = _resolve_iri(cm.group(2), prefixes)
             if uri in self._stores and not cm.group(1):
                 raise SparqlSyntaxError(f"graph already exists: <{uri}>")
             self.store_for(uri)
             return
-        lm = _LOAD_RE.match(sparql)
+        lm = _LOAD_RE.match(body)
         if lm is not None:
             self._load(
                 silent=lm.group(1) is not None,
-                source=lm.group(2),
-                into=lm.group(3),
+                source=_resolve_iri(lm.group(2), prefixes),
+                into=(
+                    _resolve_iri(lm.group(3), prefixes)
+                    if lm.group(3)
+                    else None
+                ),
             )
             return
+        # the remaining fast forms keep matching the RAW text — a
+        # prologue routes them to the full Modify template parser,
+        # which resolves prefixes itself
         m = _UPDATE_RE.match(sparql)
         if m is None:
             from ontograph_spark.query.sparql import sparql_update_template
@@ -316,8 +362,17 @@ class LocalSparqlEndpoint:
         path = source
         if path.startswith("file://"):
             path = path[len("file://"):]
+        is_nq = path.endswith(".nq") or path.endswith(".nquads")
+        if not is_nq and into is None:
+            # a local USAGE error, not a read failure — SILENT swallows
+            # remote/read trouble (§3.1.4), never this
+            raise SparqlSyntaxError(
+                "LOAD of an N-Triples document needs INTO GRAPH"
+                " <g> (this endpoint has no unnamed default"
+                " graph)"
+            )
         try:
-            if path.endswith(".nq") or path.endswith(".nquads"):
+            if is_nq:
                 from ontograph_spark.sources.nquads import read_nquads
 
                 quads = read_nquads(
@@ -326,12 +381,6 @@ class LocalSparqlEndpoint:
             else:
                 from ontograph_spark.sources.ntriples import read_ntriples
 
-                if into is None:
-                    raise SparqlSyntaxError(
-                        "LOAD of an N-Triples document needs INTO GRAPH"
-                        " <g> (this endpoint has no unnamed default"
-                        " graph)"
-                    )
                 quads = read_ntriples(self.spark, path, into)
             if into is not None:
                 quads = quads.withColumn("graph", F.lit(into))

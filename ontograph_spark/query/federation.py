@@ -73,7 +73,19 @@ def check_service_allowed(endpoint_url: str) -> None:
 
 
 def _escape_str(s: str) -> str:
-    return s.replace("\\", "\\\\").replace('"', '\\"')
+    """Escape a string literal per the SPARQL ECHAR production — a
+    value parsed from ``\\n``-style escapes locally must re-embed as an
+    escape, not a raw control character, or the shipped SERVICE query
+    is a remote parse error (silently empty under SERVICE SILENT)."""
+    return (
+        s.replace("\\", "\\\\")
+        .replace('"', '\\"')
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+        .replace("\t", "\\t")
+        .replace("\f", "\\f")
+        .replace("\b", "\\b")
+    )
 
 
 def _num_text(v) -> str:

@@ -69,8 +69,9 @@ tests/test_sparql_query.py alongside the repo's own
   variables (substitution semantics for possibly-unbound shared vars
   via a null-tolerant condition); EXISTS nested inside ``&&``/``||``/
   ``!`` materializes a boolean marker column through a cardinality-
-  preserving left join (all-bound shared vars only — the unbound
-  nested case raises instead of answering wrong);
+  preserving join (equi left join when all shared vars are bound; a
+  semi/anti bag partition under the null-tolerant compatibility
+  condition when one may be unbound);
 * ``BIND(expr AS ?v)`` where ``expr`` is a variable, a constant, an
   accessor (``STR``/``LANG``/``DATATYPE``), a string builtin
   (``UCASE``/``LCASE``/``SUBSTR``/``REPLACE``/``STRBEFORE``/
@@ -85,8 +86,9 @@ tests/test_sparql_query.py alongside the repo's own
   before the BIND join first, the expression evaluates over those
   solutions, later elements join against the extended set — so a
   pattern after the BIND constrains the bound variable, and a BIND
-  referencing a variable bound only later raises the unbound error
-  instead of silently using the later binding); FILTERs stay
+  referencing a variable bound only later — or never — evaluates it
+  as unbound: a type error, so the target stays unbound (§17.2),
+  never the later binding); FILTERs stay
   group-scoped regardless of position, which is itself exact (§17.2);
 * ``OPTIONAL { … }`` (nested OPTIONALs use SPARQL's
   unbound-is-compatible left join — see below), ``{ … } UNION { … }``,
@@ -105,9 +107,10 @@ tests/test_sparql_query.py alongside the repo's own
   data (query/federation.py); SILENT turns endpoint failure into the
   empty join identity;
 * ``ORDER BY [ASC|DESC](?v | expr) …``, ``LIMIT``, ``OFFSET``;
-  ``?var`` keys are value-aware: bindings that parse as numbers order
-  numerically first, with the full encoded term as a deterministic
-  tiebreaker, so ``"9"^^xsd:decimal`` sorts before
+  ``?var`` keys follow §15.1's cross-kind tiers (unbound < IRI <
+  literal) and are value-aware within the literal tier: bindings that
+  parse as numbers order numerically, with the full encoded term as a
+  deterministic tiebreaker, so ``"9"^^xsd:decimal`` sorts before
   ``"10"^^xsd:decimal`` (aggregate result columns are already numeric
   and sort directly); expression keys (``STRLEN``/``ABS``/``YEAR``/…,
   any builtin from the function library) compile through the same
@@ -148,8 +151,16 @@ Comparison semantics: the constant operand picks the mode — numeric
 constant ⇒ both sides as doubles via the literal's value (``try_cast``;
 non-numeric bindings compare as null ⇒ row dropped, matching SPARQL's
 type-error-⇒-false), plain string constant ⇒ the literal's value, IRI or
-lang/datatype-tagged constant ⇒ the full encoded term, var-vs-var ⇒ full
-encoded terms.
+lang/datatype-tagged constant ⇒ the full encoded term. Var-vs-var
+``=``/``!=`` are RDF term equality; var-vs-var order comparisons follow
+the §17.3 operator mapping dispatched on datatype (numeric pairs by
+value, plain/xsd:string pairs by codepoint, dateTime pairs by instant,
+boolean pairs false<true, anything else/mixed ⇒ type error ⇒ false).
+A FILTER/BIND referencing a variable the pattern never binds evaluates
+it as unbound — a type error, so comparisons drop the row, ``BOUND`` is
+false, and BIND targets stay unbound — matching what a Blazegraph-backed
+reference user sees for scoped-out or typo'd variables
+(blazegraph_store.go:40-53 ships queries verbatim).
 
 Scale shape (the point of answering on Spark): each triple pattern
 compiles to a filter+project over the quad scan — constant positions
@@ -186,6 +197,33 @@ from ontograph_spark.terms import (
     term_datatype_col,
     term_language_col,
     term_value_col,
+)
+
+#: XSD numeric datatypes for the §17.3 operator-mapping dispatch —
+#: the four primitive/derived numerics the engine's literal encoder
+#: produces plus the common xsd:integer-derived types a user's data
+#: may carry (all order-comparable by value per op:numeric-less-than).
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_NUMERIC_DATATYPES = frozenset(
+    _XSD + n
+    for n in (
+        "integer",
+        "decimal",
+        "double",
+        "float",
+        "long",
+        "int",
+        "short",
+        "byte",
+        "nonNegativeInteger",
+        "nonPositiveInteger",
+        "negativeInteger",
+        "positiveInteger",
+        "unsignedLong",
+        "unsignedInt",
+        "unsignedShort",
+        "unsignedByte",
+    )
 )
 
 
@@ -1925,7 +1963,10 @@ def _compile_expr(node, columns: set[str]) -> Column:
     if kind == "tfunc":
         name, var = node[1], node[2]
         if var not in columns:
-            return F.lit(False)  # type error on unbound ⇒ effective false
+            # type error on a never-bound var ⇒ NULL (§17.2 error) —
+            # same as the per-row case below, where a null column
+            # propagates null through startswith
+            return F.lit(None).cast("boolean")
         col = F.col(var)
         if name == "ISIRI":
             return col.startswith("<")
@@ -1985,11 +2026,15 @@ def _string_operand(node, columns: set[str]) -> Column:
     kind = node[0]
     if kind == "var":
         if node[1] not in columns:
-            raise SparqlSyntaxError(f"FILTER references unbound ?{node[1]}")
+            # never-bound variable: evaluating it is a type error
+            # (SPARQL §17.2) — a null column propagates through every
+            # string builtin and comparison to null ⇒ FILTER drops the
+            # row, BIND leaves the target unbound
+            return F.lit(None).cast("string")
         return term_value_col(F.col(node[1]))
     if kind == "acc":
         if node[2] not in columns:
-            raise SparqlSyntaxError(f"FILTER references unbound ?{node[2]}")
+            return F.lit(None).cast("string")  # type error ⇒ null
         return _ACCESSORS[node[1]](F.col(node[2]))
     if kind == "str":
         return F.lit(node[1])
@@ -2080,7 +2125,8 @@ def _numeric_operand(node, columns: set[str]) -> Column:
     kind = node[0]
     if kind == "var":
         if node[1] not in columns:
-            raise SparqlSyntaxError(f"FILTER references unbound ?{node[1]}")
+            # never-bound ⇒ type error ⇒ null (row dropped / unbound)
+            return F.lit(None).cast("double")
         return term_value_col(F.col(node[1])).try_cast("double")
     if kind == "num":
         return F.lit(node[1])
@@ -2140,7 +2186,8 @@ def _term_operand(node, columns: set[str]) -> Column:
     builtin needs the raw term to decode, e.g. datetime accessors)."""
     if node[0] == "var":
         if node[1] not in columns:
-            raise SparqlSyntaxError(f"FILTER references unbound ?{node[1]}")
+            # never-bound ⇒ type error ⇒ null (row dropped / unbound)
+            return F.lit(None).cast("string")
         return F.col(node[1])
     if node[0] in ("term", "str"):
         val = node[1] if node[0] == "term" else f'"{node[1]}"'
@@ -2155,7 +2202,9 @@ def _bind_value(node, columns: set[str]) -> Column:
     kind = node[0]
     if kind == "var":
         if node[1] not in columns:
-            raise SparqlSyntaxError(f"BIND references unbound ?{node[1]}")
+            # never-bound ⇒ the BIND expression errors ⇒ the target
+            # variable stays unbound (SPARQL §18.2.2.5 Extend)
+            return F.lit(None).cast("string")
         return F.col(node[1])
     if kind == "term":
         return F.lit(node[1])
@@ -2292,7 +2341,11 @@ def _cmp_side(node, mode: str, columns: set[str]) -> Column:
         return val
     if kind == "var":
         if node[1] not in columns:
-            raise SparqlSyntaxError(f"FILTER references unbound ?{node[1]}")
+            # never-bound ⇒ type error: null compares to nothing, so
+            # the surrounding comparison is null ⇒ effective false
+            return F.lit(None).cast(
+                "double" if mode in ("num", "raw") else "string"
+            )
         col = F.col(node[1])
         if mode in ("num", "raw"):
             return term_value_col(col).try_cast("double")
@@ -2327,22 +2380,54 @@ def _compile_cmp(op: str, lhs, rhs, columns: set[str]) -> Column:
     lc = _cmp_side(lhs, mode, columns)
     rc = _cmp_side(rhs, mode, columns)
     if op in ("<", "<=", ">", ">=") and mode == "term":
-        # SPARQL §17.3 operator mapping for ORDER comPARisons between
-        # two variables: numeric <op> numeric compares VALUES (a
-        # term-encoded "10" must exceed "9"), string literals compare
-        # their lexical forms, anything else (IRI vs IRI, mixed) is a
-        # type error ⇒ FALSE ⇒ row dropped. Term-string comparison
-        # stays only for = / != (RDF term equality).
-        ln = term_value_col(lc).try_cast("double")
-        rn = term_value_col(rc).try_cast("double")
+        # SPARQL §17.3 operator mapping for order comparisons between
+        # two variables, dispatched on DATATYPE (not castability):
+        # numeric <op> numeric compares values; plain / xsd:string
+        # pairs compare codepoints (so "10" < "9" is TRUE — the
+        # Blazegraph-backed reference's fn:compare answer); dateTime
+        # pairs compare instants; boolean pairs false < true; any
+        # other or mixed combination (IRI, lang-tagged, xsd:string vs
+        # numeric) is a type error ⇒ FALSE ⇒ row dropped.
         lv = term_value_col(lc)
         rv = term_value_col(rc)
-        num = {"<": ln < rn, "<=": ln <= rn, ">": ln > rn, ">=": ln >= rn}[op]
-        sv = {"<": lv < rv, "<=": lv <= rv, ">": lv > rv, ">=": lv >= rv}[op]
+        ln = lv.try_cast("double")
+        rn = rv.try_cast("double")
+
+        def _vcmp(a, b):
+            return {"<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b}[op]
+
+        def _classes(c, dt, lang):
+            lit = c.startswith('"')
+            return (
+                lit & dt.isin(list(_NUMERIC_DATATYPES)),
+                lit
+                & (lang == F.lit(""))
+                & ((dt == F.lit("")) | (dt == F.lit(vocab.XSD_STRING))),
+                lit & (dt == F.lit(vocab.XSD_DATETIME)),
+                lit & (dt == F.lit(vocab.XSD_BOOLEAN)),
+            )
+
+        l_num, l_str, l_ts, l_bool = _classes(
+            lc, term_datatype_col(lc), term_language_col(lc)
+        )
+        r_num, r_str, r_ts, r_bool = _classes(
+            rc, term_datatype_col(rc), term_language_col(rc)
+        )
+        # no terminal otherwise: an unmatched (mixed/other/unbound)
+        # combination yields NULL — SPARQL's type error, which Spark's
+        # Kleene logic propagates exactly like §17.2's error algebra
+        # (dropped by a top-level FILTER, still dropped under ``!``,
+        # absorbed by a true ``||`` branch)
         return (
-            F.when(ln.isNotNull() & rn.isNotNull(), num)
-            .when(lc.startswith('"') & rc.startswith('"'), sv)
-            .otherwise(F.lit(False))
+            F.when(l_num & r_num, _vcmp(ln, rn))
+            .when(l_str & r_str, _vcmp(lv, rv))
+            .when(
+                l_ts & r_ts, _vcmp(F.to_timestamp(lv), F.to_timestamp(rv))
+            )
+            .when(
+                l_bool & r_bool,
+                _vcmp(lv == F.lit("true"), rv == F.lit("true")),
+            )
         )
     return {
         "=": lc == rc,
@@ -2421,14 +2506,38 @@ def _rewrite_exists(
             for c in df.columns
             if c in set(inner.columns) and c != "__exists__"
         ]
-        if any(v in nullable or v in inull for v in shared):
-            raise SparqlSyntaxError(
-                "EXISTS nested in a boolean expression over a possibly-"
-                "unbound shared variable is not supported; lift it to a "
-                "top-level FILTER [NOT] EXISTS"
-            )
         mk = f"__ex{counter[0]}__"
         counter[0] += 1
+        if any(v in nullable or v in inull for v in shared):
+            # possibly-unbound shared variable: SPARQL's substitution
+            # semantics needs the null-tolerant compatibility condition
+            # (an unbound outer var matches anything), but a compat
+            # LEFT join could match one outer row to several right rows
+            # and inflate the bag — so partition it instead: semi-join
+            # hits carry marker True, anti-join misses False, and the
+            # union preserves cardinality exactly (two hash semi/anti
+            # joins against the distinct shared-binding set, no row-id
+            # bookkeeping).
+            right = inner.select(*shared).distinct()
+            for v in shared:
+                right = right.withColumnRenamed(v, f"__r_{v}")
+            cond = F.lit(True)
+            for v in shared:
+                cond = cond & (
+                    (df[v] == F.col(f"__r_{v}"))
+                    | df[v].isNull()
+                    | F.col(f"__r_{v}").isNull()
+                )
+            df = (
+                df.join(right, cond, "leftsemi")
+                .withColumn(mk, F.lit(True))
+                .unionByName(
+                    df.join(right, cond, "leftanti").withColumn(
+                        mk, F.lit(False)
+                    )
+                )
+            )
+            return df, ("marker", mk)
         if not shared:
             probe = inner.limit(1).select(F.lit(True).alias(mk))
             df = df.join(probe, F.lit(True), "left")
@@ -2671,9 +2780,11 @@ def _drop_blank_cols(df: DataFrame) -> DataFrame:
 
 def _order_cols(df: DataFrame, order: list[tuple[tuple, bool]]) -> list[Column]:
     """Value-aware ORDER BY keys. A plain ``?var`` string column sorts
-    numerically first (literal value ``try_cast`` to double; non-numeric
-    terms group together on the null key) with the full encoded term as
-    a deterministic tiebreaker; numeric columns (aggregate results) and
+    by the §15.1 cross-kind tiers first (unbound < IRI < literal; blank
+    nodes out of scope), then numerically within the literal tier
+    (literal value ``try_cast`` to double; non-numeric literals group
+    together on the null key) with the full encoded term as a
+    deterministic tiebreaker; numeric columns (aggregate results) and
     numeric builtin expressions sort directly; string builtins /
     accessors sort on their string value. Expression keys come from the
     same operand compilers as FILTER/BIND — plain Column expressions,
@@ -2689,7 +2800,19 @@ def _order_cols(df: DataFrame, order: list[tuple[tuple, bool]]) -> list[Column]:
                 # all sort keys are equal — a no-op key (SPARQL)
                 continue
             if dtypes[v] == "string":
-                num = term_value_col(F.col(v)).try_cast("double")
+                c = F.col(v)
+                # §15.1 cross-kind tiers first: unbound < IRI < literal
+                # (blank nodes are out of scope — SURVEY §2.1); then
+                # value order within the literal tier (numerics by
+                # value; non-numeric literals group before them on the
+                # null key and fall through to the lexical tiebreaker)
+                tier = (
+                    F.when(c.isNull(), F.lit(0))
+                    .when(c.startswith("<"), F.lit(1))
+                    .otherwise(F.lit(2))
+                )
+                cols.append(tier.asc() if asc else tier.desc())
+                num = term_value_col(c).try_cast("double")
                 cols.append(
                     num.asc_nulls_first() if asc else num.desc_nulls_last()
                 )
@@ -2827,6 +2950,8 @@ def _compile_select(
         df = df.withColumn(var, _bind_value(expr, set(df.columns)))
     out_null: set[str] = set()
     deferred_proj: list[Column] | None = None
+    agg_proj = False
+    proj_pending = False
     if q.having and not (q.aggs or q.group_by):
         raise SparqlSyntaxError("HAVING needs GROUP BY or an aggregate")
     if q.select_binds and (q.aggs or q.group_by):
@@ -2861,18 +2986,51 @@ def _compile_select(
             df = df.agg(*aggs)
         for hx in having_exprs:
             df = df.where(_compile_expr(hx, set(df.columns)))
-        df = df.select(*q.proj_order)
         # SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT can be null (no numeric
-        # bindings in the group); group keys inherit their nullability
+        # bindings in the group); group keys inherit their nullability.
+        # Projection itself is deferred past the trailing data block
+        # join (§18.2.4.3 joins VALUES before §18.2.5's Project) so a
+        # data block on a non-projected GROUP BY key still constrains.
         out_null = {
             alias for alias, func, _, _, _ in q.aggs if func != "COUNT"
         } | (nullable & set(q.group_by))
+        agg_proj = True
     elif q.group_by:
         raise SparqlSyntaxError("GROUP BY needs an aggregate projection")
     elif q.projection is not None:
-        # a projected variable the pattern never binds is unbound in every
-        # solution (SPARQL), i.e. a null column — the reference's
-        # constant-slot SELECT ?s ?p ?o strings rely on this
+        # SELECT expressions + projection are applied after the data
+        # block join below (§18.2.4: Extend and Project follow VALUES)
+        proj_pending = True
+    elif "__exists__" in df.columns:
+        df = df.select(F.col("__exists__").cast("string").alias("__exists__"))
+    else:
+        out_null = nullable & set(df.columns)
+    for names, rows in q.trailing_values:
+        # the query-level data block joins the (possibly aggregated)
+        # solution sequence here — after Grouping/HAVING, before the
+        # SELECT-expression/projection/DISTINCT/ORDER/slice modifiers
+        # (SPARQL §18.2.4.3); joining pre-projection keeps a data block
+        # over a non-projected variable a real constraint instead of a
+        # silently-dropped cross join
+        spark = quads.sparkSession
+        vdf = spark.createDataFrame(
+            [tuple(r) for r in rows], ", ".join(f"{n} string" for n in names)
+        )
+        vnull = {
+            n for i, n in enumerate(names) if any(r[i] is None for r in rows)
+        }
+        df = _join_shared(df, vdf, lnull=out_null | nullable, rnull=vnull)
+        out_null |= vnull
+        nullable |= vnull
+    if agg_proj:
+        # projection applies last (§18.2.5): drop data-block variables
+        # and hidden HAVING columns not in the SELECT clause
+        df = df.select(*q.proj_order)
+    elif proj_pending:
+        # a projected variable neither the pattern nor the data block
+        # binds is unbound in every solution (SPARQL), i.e. a null
+        # column — the reference's constant-slot SELECT ?s ?p ?o
+        # strings rely on this
         for alias, expr in q.select_binds:
             if alias in df.columns:
                 raise SparqlSyntaxError(f"SELECT expression rebinds ?{alias}")
@@ -2903,34 +3061,6 @@ def _compile_select(
             # reference non-projected variables (SPARQL sorts the
             # solution sequence, then projects)
             deferred_proj = cols
-    elif "__exists__" in df.columns:
-        df = df.select(F.col("__exists__").cast("string").alias("__exists__"))
-    else:
-        out_null = nullable & set(df.columns)
-    for names, rows in q.trailing_values:
-        # the query-level data block joins the (possibly aggregated)
-        # solution sequence here — after Grouping/HAVING, before the
-        # DISTINCT/ORDER/slice modifiers (SPARQL §18.2.4.3)
-        spark = quads.sparkSession
-        vdf = spark.createDataFrame(
-            [tuple(r) for r in rows], ", ".join(f"{n} string" for n in names)
-        )
-        vnull = {
-            n for i, n in enumerate(names) if any(r[i] is None for r in rows)
-        }
-        df = _join_shared(df, vdf, lnull=out_null | nullable, rnull=vnull)
-        out_null |= vnull
-    if q.trailing_values and deferred_proj is None and q.proj_order:
-        # projection applies last (§18.2.5): drop data-block variables
-        # that are not in the SELECT clause
-        df = df.select(*q.proj_order)
-    elif q.trailing_values and deferred_proj is not None:
-        # rebuild the deferred projection: the data block may have bound
-        # a projected variable the pattern never did
-        deferred_proj = [
-            F.col(v) if v in df.columns else F.lit(None).cast("string").alias(v)
-            for v in q.proj_order
-        ]
     if q.distinct:
         df = df.distinct()
     if q.order:
@@ -2982,7 +3112,11 @@ def sparql_construct(quads: DataFrame, query: str) -> DataFrame:
             if kind == "term":
                 row.append(F.lit(val).alias(name))
             elif val not in cols:
-                raise SparqlSyntaxError(f"template references unbound ?{val}")
+                # a template variable the WHERE group never binds is
+                # unbound in every solution ⇒ this pattern instantiates
+                # no triples (SPARQL 1.1 §16.2) — the na.drop below
+                # removes every row
+                row.append(F.lit(None).cast("string").alias(name))
             else:
                 row.append(F.col(val).alias(name))
         inst = df.select(*row).na.drop()

@@ -2,8 +2,11 @@
 
 tests/test_sparql_property.py drives hypothesis over BGP/OPTIONAL/UNION;
 this file extends the differential net to the features the judge's
-wrong-answer-hunting item called out — property paths, MINUS,
-aggregates, and positionally-placed BIND — with a SEEDED deterministic
+wrong-answer-hunting item called out — property paths (incl. under
+GRAPH ?var and feeding/inside OPTIONAL), MINUS, aggregates (incl.
+GROUP_CONCAT/SAMPLE/DISTINCT combos), positionally-placed BIND,
+FILTER comparisons, never-bound-variable error semantics, VALUES with
+UNDEF, and ORDER BY cross-kind tiers — with a SEEDED deterministic
 generator (plain ``random.Random(seed)``; every failure reproduces from
 the printed case number alone).
 
@@ -473,44 +476,85 @@ def test_optional_position_matches_naive_leftjoin(spark):
 # FILTER comparisons (var op var / var op constant)
 # ---------------------------------------------------------------------------
 
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+
 CMP_OBJECTS = OBJECTS + [
-    '"9"^^<http://www.w3.org/2001/XMLSchema#integer>',
-    '"10"^^<http://www.w3.org/2001/XMLSchema#integer>',
-    '"2.5"^^<http://www.w3.org/2001/XMLSchema#decimal>',
+    f'"9"^^<{_XSD}integer>',
+    f'"10"^^<{_XSD}integer>',
+    f'"2.5"^^<{_XSD}decimal>',
+    f'"10"^^<{_XSD}string>',
+    f'"true"^^<{_XSD}boolean>',
+    f'"false"^^<{_XSD}boolean>',
+    f'"2023-05-01T12:00:00"^^<{_XSD}dateTime>',
+    f'"2024-01-02T00:00:00"^^<{_XSD}dateTime>',
+    '"x"@en',
 ]
 
+_NUM_DTS = {
+    _XSD + n for n in ("integer", "decimal", "double", "float", "long", "int")
+}
 
-def _numval(term):
+
+def _dtype(term):
+    """Datatype IRI of an encoded literal ('' = plain), None = not a
+    literal."""
     if not term.startswith('"'):
         return None
-    v = term[1 : term.find('"', 1)]
-    try:
-        return float(v)
-    except ValueError:
-        return None
+    i = term.rfind('"^^<')
+    return term[i + 4 : -1] if i > 0 else ""
 
 
-def _strval(term):
+def _lang(term):
+    i = term.rfind('"@')
+    return term[i + 2 :] if term.startswith('"') and i > 0 else ""
+
+
+def _lex(term):
     return term[1 : term.find('"', 1)]
 
 
-def naive_cmp(op, x, y):
-    """§17.3 operator mapping (the engine's documented convention):
-    = / != are RDF term equality; order comparisons are numeric by
-    VALUE when both sides parse numeric, lexical over the literal
-    values when both are literals, else a type error (False)."""
+def naive_cmp3(op, x, y):
+    """§17.3 operator mapping, three-valued: = / != are RDF term
+    equality; order comparisons are numeric by VALUE only when both
+    datatypes are numeric, codepoint order when both sides are
+    plain/xsd:string (so "10" < "9" is True), instant order for
+    dateTime pairs, false < true for boolean pairs, else a TYPE ERROR
+    (None) — lang-tagged, IRI, mixed, and unbound (None) operands
+    included. None propagates like SPARQL §17.2's error algebra."""
+    if x is None or y is None:
+        return None
     if op == "=":
         return x == y
     if op == "!=":
         return x != y
-    xn, yn = _numval(x), _numval(y)
-    if xn is not None and yn is not None:
-        a, b = xn, yn
-    elif x.startswith('"') and y.startswith('"'):
-        a, b = _strval(x), _strval(y)
-    else:
-        return False
-    return {"<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b}[op]
+    xd, yd = _dtype(x), _dtype(y)
+    if xd is None or yd is None:
+        return None
+    cmp = {
+        "<": lambda a, b: a < b,
+        "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b,
+        ">=": lambda a, b: a >= b,
+    }[op]
+    if xd in _NUM_DTS and yd in _NUM_DTS:
+        try:
+            return cmp(float(_lex(x)), float(_lex(y)))
+        except ValueError:
+            return None
+    str_x = xd in ("", _XSD + "string") and not _lang(x)
+    str_y = yd in ("", _XSD + "string") and not _lang(y)
+    if str_x and str_y:
+        return cmp(_lex(x), _lex(y))
+    if xd == yd == _XSD + "dateTime":
+        return cmp(_lex(x), _lex(y))  # ISO lexical == instant order here
+    if xd == yd == _XSD + "boolean":
+        return cmp(_lex(x) == "true", _lex(y) == "true")
+    return None
+
+
+def naive_cmp(op, x, y):
+    """Top-level FILTER form of :func:`naive_cmp3` — error ⇒ drop."""
+    return naive_cmp3(op, x, y) is True
 
 
 def test_filter_comparisons_match_naive(spark):
@@ -591,4 +635,433 @@ def test_values_undef_matches_naive_compat_join(spark):
                 joined.append(m)
         want = Counter(tuple(m.get(v) for v in out_vars) for m in joined)
         got = _engine_bag(spark, triples, q, out_vars)
+        assert got == want, f"case {i} seed {seed}: {q!r} over {triples}"
+
+
+# ---------------------------------------------------------------------------
+# never-bound variables in FILTER / BIND (three-valued error algebra)
+# ---------------------------------------------------------------------------
+
+
+def _naive_bool3(expr, mu):
+    """Three-valued evaluation of the family's boolean grammar:
+    ("cmp", op, a, b) with var/const operands, ("bound", v),
+    ("not", e), ("and", e1, e2), ("or", e1, e2). Unbound operands and
+    mixed-type order comparisons are errors (None); the §17.2 tables
+    drive the connectives."""
+    kind = expr[0]
+    if kind == "cmp":
+        def operand(o):
+            return mu.get(o[1]) if o[0] == "var" else o[1]
+        return naive_cmp3(expr[1], operand(expr[2]), operand(expr[3]))
+    if kind == "bound":
+        return mu.get(expr[1]) is not None
+    if kind == "not":
+        inner = _naive_bool3(expr[1], mu)
+        return None if inner is None else not inner
+    a, b = _naive_bool3(expr[1], mu), _naive_bool3(expr[2], mu)
+    if kind == "and":
+        if a is False or b is False:
+            return False
+        if a is None or b is None:
+            return None
+        return True
+    # or
+    if a is True or b is True:
+        return True
+    if a is None or b is None:
+        return None
+    return False
+
+
+def _expr_text(expr) -> str:
+    kind = expr[0]
+    if kind == "cmp":
+        def t(o):
+            return f"?{o[1]}" if o[0] == "var" else o[1]
+        return f"({t(expr[2])} {expr[1]} {t(expr[3])})"
+    if kind == "bound":
+        return f"BOUND(?{expr[1]})"
+    if kind == "not":
+        return f"(!{_expr_text(expr[1])})"
+    op = "&&" if expr[0] == "and" else "||"
+    return f"({_expr_text(expr[1])} {op} {_expr_text(expr[2])})"
+
+
+def _rand_bool_expr(rng, vars_pool, depth=2):
+    """Random boolean expression; variables drawn from ``vars_pool``
+    which includes the never-bound ?u."""
+    if depth == 0 or rng.random() < 0.45:
+        if rng.random() < 0.25:
+            return ("bound", rng.choice(vars_pool))
+        op = rng.choice(["=", "!=", "<", "<=", ">", ">="])
+        mk = lambda: (
+            ("var", rng.choice(vars_pool))
+            if rng.random() < 0.7
+            else ("const", rng.choice(CMP_OBJECTS))
+        )
+        return ("cmp", op, mk(), mk())
+    kind = rng.choice(["and", "or", "not"])
+    if kind == "not":
+        return ("not", _rand_bool_expr(rng, vars_pool, depth - 1))
+    return (
+        kind,
+        _rand_bool_expr(rng, vars_pool, depth - 1),
+        _rand_bool_expr(rng, vars_pool, depth - 1),
+    )
+
+
+def test_never_bound_vars_match_naive(spark):
+    """FILTER/BIND referencing a variable the pattern never binds (and
+    boolean combinations thereof, including under !): the engine's
+    null-column compile must match the naive §17.2 error algebra —
+    comparisons over unbound error out (row dropped), BOUND is false,
+    !error stays error, true || error is true, and BIND targets stay
+    unbound."""
+    for i, seed in enumerate(_seeds("nbv")):
+        rng = random.Random(seed)
+        n = rng.randint(1, 10)
+        triples = sorted({
+            (rng.choice(SUBJECTS), rng.choice(PREDS), rng.choice(CMP_OBJECTS))
+            for _ in range(n)
+        })
+        pats = [
+            (("var", "x"), ("term", rng.choice(PREDS)), ("var", "a")),
+        ]
+        if rng.random() < 0.5:
+            pats.append(
+                (("var", "x"), ("term", rng.choice(PREDS)), ("var", "b"))
+            )
+        bound = sorted({v for p in pats for k, v in p if k == "var"})
+        pool = bound + ["u"]  # ?u is never bound anywhere
+        expr = _rand_bool_expr(rng, pool)
+        sols = naive_bgp(triples, pats)
+        if rng.random() < 0.3:
+            # BIND over the never-bound var: target stays unbound
+            q = (
+                f"SELECT {' '.join('?' + v for v in bound)} ?w WHERE {{ "
+                + " ".join(_pat_text(p) for p in pats)
+                + " BIND(STR(?u) AS ?w) "
+                + f" FILTER{_expr_text(expr)} }}"
+            )
+            want = Counter(
+                tuple([mu.get(v) for v in bound] + [None])
+                for mu in sols
+                if _naive_bool3(expr, mu) is True
+            )
+            got = _engine_bag(spark, triples, q, bound + ["w"])
+        else:
+            q = (
+                f"SELECT {' '.join('?' + v for v in bound)} WHERE {{ "
+                + " ".join(_pat_text(p) for p in pats)
+                + f" FILTER{_expr_text(expr)} }}"
+            )
+            want = Counter(
+                tuple(mu.get(v) for v in bound)
+                for mu in sols
+                if _naive_bool3(expr, mu) is True
+            )
+            got = _engine_bag(spark, triples, q, bound)
+        assert got == want, f"case {i} seed {seed}: {q!r} over {triples}"
+
+
+# ---------------------------------------------------------------------------
+# property paths under GRAPH ?var
+# ---------------------------------------------------------------------------
+
+
+GRAPHS = ["<u:g1>", "<u:g2>"]
+
+
+def _gquads(rng):
+    n = rng.randint(1, 10)
+    return sorted({
+        (
+            rng.choice(SUBJECTS),
+            rng.choice(PREDS),
+            rng.choice(OBJECTS),
+            rng.choice(GRAPHS),
+        )
+        for _ in range(n)
+    })
+
+
+def _df_g(spark, quads):
+    return spark.createDataFrame(
+        list(quads), "subj string, pred string, obj string, graph string"
+    )
+
+
+def test_paths_under_graph_var_match_naive(spark):
+    """A property path nested under GRAPH ?g: evaluated per named
+    graph — closure, zero-length walks, and constant anchors all scope
+    to one graph's triples at a time, with ?g bound alongside."""
+    for i, seed in enumerate(_seeds("gpath")):
+        rng = random.Random(seed)
+        quads = _gquads(rng)
+        path = _rand_path(rng)
+
+        def nullable(p) -> bool:
+            k = p[0]
+            if k in ("star", "opt"):
+                return True
+            if k == "seq":
+                return nullable(p[1]) and nullable(p[2])
+            if k == "alt":
+                return nullable(p[1]) or nullable(p[2])
+            if k in ("plus", "inv"):
+                return nullable(p[1])
+            return False
+
+        graphs = sorted({g for *_, g in quads})
+        anchored = rng.random() < 0.4
+        if anchored:
+            const = rng.choice(SUBJECTS)
+            q = (
+                "SELECT ?g ?y WHERE { GRAPH ?g { "
+                f"{const} {_path_text(path)} ?y }} }}"
+            )
+            want = Counter()
+            for g in graphs:
+                tg = [(s, p, o) for s, p, o, gg in quads if gg == g]
+                pairs = _naive_path_pairs(tg, path)
+                ys = {y for x, y in pairs if x == const}
+                if nullable(path):
+                    ys.add(const)
+                for y in ys:
+                    want[(g, y)] += 1
+            cols = ["g", "y"]
+        else:
+            q = (
+                "SELECT ?g ?x ?y WHERE { GRAPH ?g { "
+                f"?x {_path_text(path)} ?y }} }}"
+            )
+            want = Counter()
+            for g in graphs:
+                tg = [(s, p, o) for s, p, o, gg in quads if gg == g]
+                for x, y in _naive_path_pairs(tg, path):
+                    want[(g, x, y)] += 1
+            cols = ["g", "x", "y"]
+        rows = sparql_select(_df_g(spark, quads), q).collect()
+        got = Counter(tuple(getattr(r, c) for c in cols) for r in rows)
+        assert got == want, f"case {i} seed {seed}: {q!r} over {quads}"
+
+
+# ---------------------------------------------------------------------------
+# property paths with shared endpoints into OPTIONAL
+# ---------------------------------------------------------------------------
+
+
+def test_path_endpoints_into_optional_match_naive(spark):
+    """Two shapes: a path whose object endpoint feeds a following
+    OPTIONAL (left join over the path solutions), and a path INSIDE the
+    OPTIONAL sharing its subject endpoint with the outer BGP."""
+    for i, seed in enumerate(_seeds("popt")):
+        rng = random.Random(seed)
+        triples = _quads(rng)
+        path = _rand_path(rng)
+        pairs = _naive_path_pairs(triples, path)
+        inside = rng.random() < 0.5
+        if inside:
+            # BGP then OPTIONAL { ?y path ?z } sharing ?y
+            pats = [(("var", "x"), ("term", rng.choice(PREDS)), ("var", "y"))]
+            q = (
+                "SELECT ?x ?y ?z WHERE { "
+                + _pat_text(pats[0])
+                + f" OPTIONAL {{ ?y {_path_text(path)} ?z }} }}"
+            )
+            pre = naive_bgp(triples, pats)
+            joined = []
+            for mu in pre:
+                matches = [
+                    {**mu, "z": z} for y, z in pairs if y == mu["y"]
+                ]
+                joined.extend(matches if matches else [{**mu, "z": None}])
+            want = Counter(
+                (mu["x"], mu["y"], mu.get("z")) for mu in joined
+            )
+            cols = ["x", "y", "z"]
+        else:
+            # ?x path ?y then OPTIONAL { ?y p ?z }
+            opt = [(("var", "y"), ("term", rng.choice(PREDS)), ("var", "z"))]
+            q = (
+                f"SELECT ?x ?y ?z WHERE {{ ?x {_path_text(path)} ?y "
+                + " OPTIONAL { "
+                + _pat_text(opt[0])
+                + " } }"
+            )
+            rsol = naive_bgp(triples, opt)
+            joined = []
+            for x, y in pairs:
+                matches = [
+                    {"x": x, "y": y, "z": nu["z"]}
+                    for nu in rsol
+                    if nu["y"] == y
+                ]
+                joined.extend(
+                    matches if matches else [{"x": x, "y": y, "z": None}]
+                )
+            want = Counter((mu["x"], mu["y"], mu["z"]) for mu in joined)
+            cols = ["x", "y", "z"]
+        got = _engine_bag(spark, triples, q, cols)
+        assert got == want, f"case {i} seed {seed}: {q!r} over {triples}"
+
+
+# ---------------------------------------------------------------------------
+# GROUP_CONCAT / SAMPLE / DISTINCT aggregate combos
+# ---------------------------------------------------------------------------
+
+
+def test_aggregate_combos_match_naive(spark):
+    """GROUP_CONCAT (with/without SEPARATOR, DISTINCT), SAMPLE, and
+    COUNT/SUM DISTINCT over a grouped variable — mirroring the engine's
+    documented deterministic conventions (GROUP_CONCAT sorts its
+    collected values; SAMPLE is the minimum encoded term)."""
+    for i, seed in enumerate(_seeds("agg2")):
+        rng = random.Random(seed)
+        n = rng.randint(1, 10)
+        triples = sorted({
+            (rng.choice(SUBJECTS), rng.choice(PREDS), rng.choice(CMP_OBJECTS))
+            for _ in range(n)
+        })
+        pred = rng.choice(PREDS)
+        pat = ((("var", "x"), ("term", pred), ("var", "y")),)
+        sols = naive_bgp(triples, pat)
+        groups: dict[str, list[str]] = {}
+        for mu in sols:
+            groups.setdefault(mu["x"], []).append(mu["y"])
+        choice = rng.choice(
+            ["concat", "concat_sep", "concat_distinct", "sample",
+             "count_distinct", "sum_distinct"]
+        )
+        if choice.startswith("concat"):
+            sep = "-" if choice == "concat_sep" else " "
+            dist = "DISTINCT " if choice == "concat_distinct" else ""
+            sep_clause = '; SEPARATOR="-"' if choice == "concat_sep" else ""
+            q = (
+                f"SELECT ?x (GROUP_CONCAT({dist}?y{sep_clause}) AS ?agg) "
+                f"WHERE {{ ?x {pred} ?y }} GROUP BY ?x"
+            )
+            want = Counter()
+            for k, vals in groups.items():
+                # literal → lexical form; IRI → its text (the engine's
+                # term_value_col convention)
+                lex = [
+                    v[1 : v.find('"', 1)] if v.startswith('"') else v[1:-1]
+                    for v in vals
+                ]
+                if choice == "concat_distinct":
+                    lex = sorted(set(lex))
+                else:
+                    lex = sorted(lex)
+                want[(k, sep.join(lex))] += 1
+        elif choice == "sample":
+            q = (
+                f"SELECT ?x (SAMPLE(?y) AS ?agg) "
+                f"WHERE {{ ?x {pred} ?y }} GROUP BY ?x"
+            )
+            want = Counter((k, min(vals)) for k, vals in groups.items())
+        elif choice == "count_distinct":
+            q = (
+                f"SELECT ?x (COUNT(DISTINCT ?y) AS ?agg) "
+                f"WHERE {{ ?x {pred} ?y }} GROUP BY ?x"
+            )
+            want = Counter(
+                (k, len(set(vals))) for k, vals in groups.items()
+            )
+        else:
+            q = (
+                f"SELECT ?x (SUM(DISTINCT ?y) AS ?agg) "
+                f"WHERE {{ ?x {pred} ?y }} GROUP BY ?x"
+            )
+            want = Counter()
+            for k, vals in groups.items():
+                nums = {
+                    _lit_num(v) for v in set(vals) if _lit_num(v) is not None
+                }
+                want[(k, sum(nums) if nums else None)] += 1
+        rows = sparql_select(_df(spark, triples), q).collect()
+        got = Counter()
+        for r in rows:
+            v = r["agg"]
+            got[(r["x"], float(v) if isinstance(v, (int, float)) else v)] += 1
+        want = Counter(
+            {(k, float(v) if isinstance(v, (int, float)) else v): c
+             for (k, v), c in want.items()}
+        )
+        assert got == want, f"case {i} seed {seed}: {q!r} over {triples}"
+
+
+# ---------------------------------------------------------------------------
+# ORDER BY cross-kind tiers (§15.1)
+# ---------------------------------------------------------------------------
+
+
+def _order_key(term):
+    """The engine's documented total order for a ?var sort key:
+    §15.1 tiers (unbound < IRI < literal; no blanks), then within the
+    literal tier non-numeric-valued literals (on the null numeric key)
+    before numeric-valued ones by value, the full encoded term as the
+    final tiebreaker."""
+    if term is None:
+        return (0, 0, 0.0, "")
+    if term.startswith("<"):
+        return (1, 0, 0.0, term)
+    lex = term[1 : term.find('"', 1)]
+    try:
+        return (2, 1, float(lex), term)
+    except ValueError:
+        return (2, 0, 0.0, term)
+
+
+def test_order_by_cross_kind_tiers_match_naive(spark):
+    """ORDER BY over a variable whose bindings mix IRIs, numeric and
+    non-numeric literals, and unbound (via OPTIONAL): the engine's
+    sorted sequence must equal the naive evaluator's under the §15.1
+    tier order, for ASC and DESC, with and without LIMIT."""
+    for i, seed in enumerate(_seeds("order")):
+        rng = random.Random(seed)
+        n = rng.randint(2, 10)
+        triples = sorted({
+            (
+                rng.choice(SUBJECTS),
+                rng.choice(PREDS),
+                rng.choice(CMP_OBJECTS + SUBJECTS),
+            )
+            for _ in range(n)
+        })
+        p1, p2 = rng.choice(PREDS), rng.choice(PREDS)
+        asc = rng.random() < 0.5
+        limit = rng.randint(1, 5) if rng.random() < 0.4 else None
+        d = "ASC" if asc else "DESC"
+        q = (
+            "SELECT ?x ?y ?z WHERE { "
+            f"?x {p1} ?y OPTIONAL {{ ?y {p2} ?z }} }} "
+            f"ORDER BY {d}(?z) {d}(?y) {d}(?x)"
+            + (f" LIMIT {limit}" if limit else "")
+        )
+        pats = [(("var", "x"), ("term", p1), ("var", "y"))]
+        opt = [(("var", "y"), ("term", p2), ("var", "z"))]
+        pre = naive_bgp(triples, pats)
+        rsol = naive_bgp(triples, opt)
+        joined = []
+        for mu in pre:
+            matches = [
+                {**mu, "z": nu["z"]} for nu in rsol if nu["y"] == mu["y"]
+            ]
+            joined.extend(matches if matches else [{**mu, "z": None}])
+        ordered = sorted(
+            joined,
+            key=lambda m: (
+                _order_key(m.get("z")),
+                _order_key(m["y"]),
+                _order_key(m["x"]),
+            ),
+            reverse=not asc,
+        )
+        want = [(m["x"], m["y"], m.get("z")) for m in ordered]
+        if limit:
+            want = want[:limit]
+        rows = sparql_select(_df(spark, triples), q).collect()
+        got = [(r["x"], r["y"], r["z"]) for r in rows]
         assert got == want, f"case {i} seed {seed}: {q!r} over {triples}"

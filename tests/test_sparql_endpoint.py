@@ -531,6 +531,33 @@ def test_create_graph(endpoint):
     endpoint.update("CREATE SILENT GRAPH <urn:made>")  # no-op
 
 
+def test_create_load_with_prologue_and_pnames(endpoint, tmp_path):
+    """A PREFIX/BASE/comment prologue must not knock CREATE/LOAD off
+    their fast forms into the Modify parser, and prefixed names resolve
+    as graph/source tokens."""
+    endpoint.update(
+        "# make it\nPREFIX ex: <urn:pfx#>\nCREATE GRAPH ex:made"
+    )
+    assert endpoint.client("urn:pfx#made").size() == 0
+    nt = tmp_path / "p.nt"
+    nt.write_text('<u:a> <u:p> "one" .\n')
+    endpoint.update(
+        f"PREFIX g: <urn:pfx#>\nLOAD <file://{nt}> INTO GRAPH g:loaded"
+    )
+    assert endpoint.client("urn:pfx#loaded").size() == 1
+    with pytest.raises(SparqlSyntaxError, match="unknown prefix"):
+        endpoint.update("CREATE GRAPH nope:g")
+
+
+def test_load_silent_does_not_swallow_usage_error(endpoint, tmp_path):
+    """LOAD SILENT swallows READ failures only — the local 'N-Triples
+    needs INTO GRAPH' usage error still raises."""
+    nt = tmp_path / "u.nt"
+    nt.write_text('<u:a> <u:p> "one" .\n')
+    with pytest.raises(SparqlSyntaxError, match="INTO GRAPH"):
+        endpoint.update(f"LOAD SILENT <file://{nt}>")
+
+
 def test_with_delete_where_shorthand(endpoint, client):
     """WITH <g> DELETE WHERE { pattern } (§3.1.3.3): the WHERE group
     doubles as the delete template, scoped by WITH."""

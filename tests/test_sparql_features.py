@@ -586,17 +586,35 @@ def test_exists_nested_in_boolean(store):
     }
 
 
-def test_exists_nested_unbound_shared_var_raises(store):
-    """A marker-join EXISTS over a possibly-unbound shared var answers
-    wrong under substitution semantics — must raise, not guess. (A bare
-    ``!EXISTS`` is NOT nested: it compiles to the top-level anti join.)"""
-    q = f"""SELECT ?o WHERE {{
-        <{U}> <{U}#rel-1> ?o .
-        OPTIONAL {{ ?o <{U}#rel-2> ?x }}
-        FILTER(EXISTS {{ ?y <{U}#rel-2> ?x }} || ?o = <{U}#zzz>)
-    }}"""
-    with pytest.raises(SparqlSyntaxError):
-        sparql_select(store.df(), q).collect()
+def test_exists_nested_unbound_shared_var(spark):
+    """EXISTS nested in a disjunction over a possibly-unbound shared
+    variable: substitution semantics — a bound ?x constrains the inner
+    pattern, an unbound ?x leaves it free (matches anything). The
+    marker compiles to a semi/anti bag partition under the null-
+    tolerant compatibility condition, preserving cardinality."""
+    rows = [
+        ("<u:a>", "<u:p>", "<u:o1>", "g"),
+        ("<u:a>", "<u:p>", "<u:o2>", "g"),
+        ("<u:a>", "<u:p>", "<u:o3>", "g"),
+        ("<u:a>", "<u:p>", "<u:o4>", "g"),
+        ("<u:o1>", "<u:q>", "<u:v1>", "g"),  # x=v1 for o1
+        ("<u:o2>", "<u:q>", "<u:v2>", "g"),  # x=v2 for o2
+        ("<u:o4>", "<u:q>", "<u:v2>", "g"),  # x=v2 for o4
+        ("<u:m>", "<u:r>", "<u:v1>", "g"),  # EXISTS target: only v1
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string"
+    )
+    q = """SELECT ?o WHERE {
+        <u:a> <u:p> ?o .
+        OPTIONAL { ?o <u:q> ?x }
+        FILTER(EXISTS { ?y <u:r> ?x } || ?o = <u:o4>)
+    }"""
+    got = sorted(r[0] for r in sparql_select(df, q).collect())
+    # o1: x=v1 ⇒ EXISTS true. o2: x=v2 ⇒ false, disjunct false ⇒ drop.
+    # o3: x unbound ⇒ inner pattern free ⇒ true. o4: x=v2 ⇒ EXISTS
+    # false but the ?o = <u:o4> disjunct keeps it.
+    assert got == ["<u:o1>", "<u:o3>", "<u:o4>"]
 
 
 def test_bare_not_exists_is_top_level_anti_join(store):
@@ -1705,6 +1723,51 @@ def test_trailing_values_applies_after_aggregation(spark):
     assert got3 == [("<u:e1>", '"x"'), ("<u:e1>", '"y"')]
 
 
+def test_trailing_values_joins_before_projection(spark):
+    """SPARQL §18.2.4.3 joins the data block BEFORE §18.2.5's Project:
+    a trailing VALUES over a variable that is in scope but not in the
+    SELECT clause must still constrain the solutions — in the DISTINCT
+    path and over a non-projected GROUP BY key alike (it must not
+    degenerate to a cross join that silently drops the constraint)."""
+    rows = [
+        ("<u:e1>", "<u:p>", '"a"', "g"),
+        ("<u:e1>", "<u:p>", '"b"', "g"),
+        ("<u:e2>", "<u:p>", '"c"', "g"),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string"
+    )
+    # DISTINCT path: ?s is not projected, yet the data block constrains
+    got = sorted(
+        r.v
+        for r in sparql_select(
+            df,
+            "SELECT DISTINCT ?v WHERE { ?s <u:p> ?v } VALUES ?s { <u:e1> }",
+        ).collect()
+    )
+    assert got == ['"a"', '"b"']
+    # aggregate path: VALUES over a non-projected GROUP BY key selects
+    # whole groups
+    got2 = [
+        (r.v, r.n)
+        for r in sparql_select(
+            df,
+            "SELECT ?v (COUNT(?v) AS ?n) WHERE { ?s <u:p> ?v } "
+            "GROUP BY ?v ?s VALUES ?s { <u:e2> }",
+        ).collect()
+    ]
+    assert got2 == [('"c"', 1)]
+    # non-DISTINCT deferred-projection path: same constraint
+    got3 = sorted(
+        r.v
+        for r in sparql_select(
+            df,
+            "SELECT ?v WHERE { ?s <u:p> ?v } VALUES ?s { <u:e2> }",
+        ).collect()
+    )
+    assert got3 == ['"c"']
+
+
 # ---------------------------------------------------------------------------
 # Positional BIND (SPARQL §18.2.2.6 Extend)
 # ---------------------------------------------------------------------------
@@ -1731,19 +1794,20 @@ def test_bind_position_pattern_after_joins_on_bound_var(spark):
     assert [r[0] for r in sparql_select(df, q).collect()] == ["<u:a>"]
 
 
-def test_bind_forward_reference_raises(spark):
+def test_bind_forward_reference_stays_unbound(spark):
     """BIND referencing a variable bound only by a LATER pattern in the
-    group must not see that binding (left-to-right Extend): the engine
-    raises its unbound-variable error rather than silently using it."""
+    group must not see that binding (left-to-right Extend): evaluating
+    the not-yet-bound variable is a type error, so the BIND target
+    stays unbound in every solution (SPARQL §17.2 / §18.2.2.5) — never
+    the later binding."""
     rows = [("<u:a>", "<u:p>", '"1"', "g")]
     df = spark.createDataFrame(
         rows, "subj string, pred string, obj string, graph string"
     )
-    with pytest.raises(SparqlSyntaxError, match="unbound"):
-        sparql_select(
-            df,
-            "SELECT ?y WHERE { BIND(STR(?o) AS ?y) ?s <u:p> ?o }",
-        ).collect()
+    got = sparql_select(
+        df, "SELECT ?y WHERE { BIND(STR(?o) AS ?y) ?s <u:p> ?o }"
+    ).collect()
+    assert [r[0] for r in got] == [None]
 
 
 def test_bind_first_element_extends_empty_solution(spark):

@@ -331,8 +331,22 @@ def test_filter_lang_and_datatype_accessors(store):
 def test_filter_builtin_errors(store):
     with pytest.raises(SparqlSyntaxError):
         sparql_select(store.df(), "SELECT ?o WHERE { ?s ?p ?o FILTER(REGEX(?o, ?o)) }")
-    with pytest.raises(SparqlSyntaxError):
-        sparql_select(store.df(), "SELECT ?o WHERE { ?s ?p ?o FILTER(LANG(?x) = \"de\") }")
+
+
+def test_filter_over_never_bound_var_drops_rows(store):
+    """A FILTER referencing a variable the pattern never binds is a
+    type error per solution (SPARQL §17.2) — every row drops; the
+    Blazegraph-backed reference returns the same empty result for a
+    typo'd variable rather than erroring."""
+    got = sparql_select(
+        store.df(), 'SELECT ?o WHERE { ?s ?p ?o FILTER(LANG(?x) = "de") }'
+    ).collect()
+    assert got == []
+    # …and BOUND of a never-bound var is plain false, so !BOUND keeps all
+    kept = sparql_select(
+        store.df(), "SELECT ?o WHERE { ?s ?p ?o FILTER(!BOUND(?x)) }"
+    ).count()
+    assert kept == store.df().count()
 
 
 def test_group_by_count(store):
