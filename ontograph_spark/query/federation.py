@@ -93,6 +93,75 @@ def _num_text(v) -> str:
     return str(int(f)) if f.is_integer() else repr(f)
 
 
+#: SPARQL 1.1 Fed §2.1 bound join: when the LOCAL side of a SERVICE
+#: join is already solved and its distinct bindings on the shared
+#: variables number at most this, they ship inside the query as a
+#: VALUES block so the endpoint returns only compatible rows instead
+#: of the whole unconstrained relation. Above it, the unconstrained
+#: fetch (correct at any size, expensive at scale) remains the
+#: fallback. Module-level so deployments (and tests) can tune it.
+BOUND_JOIN_MAX = 64
+
+
+def term_to_surface(term: str | None) -> str:
+    """An encoded term (or unbound ``None``) as SPARQL surface syntax
+    for a VALUES cell — literals re-escaped per ECHAR."""
+    if term is None:
+        return "UNDEF"
+    if term.startswith('"'):
+        from ontograph_spark.terms import (
+            term_datatype,
+            term_language,
+            term_value,
+        )
+
+        out = f'"{_escape_str(term_value(term))}"'
+        lang = term_language(term)
+        if lang:
+            return f"{out}@{lang}"
+        dt = term_datatype(term)
+        if dt:
+            return f"{out}^^<{dt}>"
+        return out
+    return term  # IRIs (and any other encoded form) are surface syntax
+
+
+def _mandatory_vars(grp) -> set[str]:
+    """Variables bound by the service body's top-level (non-OPTIONAL)
+    triple patterns — the only ones safe to constrain with an injected
+    VALUES block. A variable that appears only inside a remote OPTIONAL
+    may come back unbound, and unbound is join-compatible with every
+    local binding, so constraining it would wrongly drop rows."""
+    out: set[str] = set()
+    for pat in grp.patterns:
+        for s in (pat.s, pat.p, pat.o):
+            if s[0] == "var":
+                out.add(s[1])
+    return out
+
+
+def local_bindings_for_bound_join(
+    df, sgroup, limit: int | None = None
+) -> tuple[list[str], list[tuple]] | None:
+    """The local join side's distinct bindings over the variables it
+    shares with the SERVICE body's mandatory patterns — or ``None``
+    when there is nothing to share or the binding set exceeds the
+    bound-join threshold (the caller then ships the query
+    unconstrained, the always-correct fallback)."""
+    limit = BOUND_JOIN_MAX if limit is None else limit
+    shared = [
+        c
+        for c in df.columns
+        if c != "__exists__" and c in _mandatory_vars(sgroup)
+    ]
+    if not shared:
+        return None
+    rows = df.select(*shared).distinct().limit(limit + 1).collect()
+    if len(rows) > limit:
+        return None
+    return shared, [tuple(r) for r in rows]
+
+
 def expr_to_sparql(node) -> str:
     """Serialize a parsed expression AST back to SPARQL surface text —
     the round-trip that lets FILTER constraints inside a SERVICE body
@@ -170,7 +239,9 @@ def expr_to_sparql(node) -> str:
     )
 
 
-def service_query_text(group) -> tuple[str, list[str]]:
+def service_query_text(
+    group, bindings: tuple[list[str], list[tuple]] | None = None
+) -> tuple[str, list[str]]:
     """Serialize a parsed service body back to a standalone SELECT.
 
     Supports triple blocks (optionally under ``GRAPH <uri>``), FILTER
@@ -179,8 +250,11 @@ def service_query_text(group) -> tuple[str, list[str]]:
     shapes real federated queries use. UNION/MINUS/BIND/VALUES/
     subqueries inside SERVICE raise loudly. Prefixed names were already
     resolved to full terms at parse time, so the generated query needs
-    no prologue. Returns (query text, variable names in projection
-    order — pattern variables incl. OPTIONAL-introduced ones)."""
+    no prologue. ``bindings`` (shared variable names + local binding
+    tuples, from :func:`local_bindings_for_bound_join`) are injected as
+    a VALUES data block — the SPARQL 1.1 Fed §2.1 bound join. Returns
+    (query text, variable names in projection order — pattern variables
+    incl. OPTIONAL-introduced ones)."""
     from ontograph_spark.query.sparql import SparqlSyntaxError
 
     vars_: list[str] = []
@@ -263,6 +337,14 @@ def service_query_text(group) -> tuple[str, list[str]]:
     if not vars_:
         # all-constant service pattern: probe existence, project nothing
         return f"ASK {{ {inner} }}", []
+    if bindings is not None:
+        names, rows = bindings
+        cells = " ".join(
+            "(" + " ".join(term_to_surface(c) for c in row) + ")"
+            for row in rows
+        )
+        head = " ".join(f"?{n}" for n in names)
+        inner += f" VALUES ({head}) {{ {cells} }}"
     return (
         f"SELECT {' '.join(f'?{v}' for v in vars_)} WHERE {{ {inner} }}",
         vars_,
@@ -290,19 +372,28 @@ def fetch_service_bindings(
         return json.loads(resp.read().decode())
 
 
-def service_solutions(spark, endpoint_url: str, group, silent: bool):
+def service_solutions(
+    spark,
+    endpoint_url: str,
+    group,
+    silent: bool,
+    bindings: tuple[list[str], list[tuple]] | None = None,
+):
     """Evaluate a SERVICE group against a remote endpoint.
 
     Returns ``(rows, var_names, nullable_names)`` where rows are
     encoded-term tuples ready for ``createDataFrame`` — or ``None``:
     SILENT + failure (the spec's empty join identity), or an
     all-constant pattern that exists remotely (also join identity).
-    Raises the transport/parse error when not SILENT."""
+    Raises the transport/parse error when not SILENT. ``bindings``
+    ships as a VALUES block (bound join) — the local join afterwards is
+    unchanged, the injected block only shrinks what the endpoint
+    returns."""
     from ontograph_spark.query.sparql import SparqlSyntaxError
     from ontograph_spark.store.sparql_store import binding_to_term
 
     check_service_allowed(endpoint_url)
-    query, vars_ = service_query_text(group)
+    query, vars_ = service_query_text(group, bindings)
     try:
         doc = fetch_service_bindings(endpoint_url, query)
     except (urllib.error.URLError, OSError, ValueError) as e:

@@ -2613,11 +2613,26 @@ def _compile_group_nn(
         for endpoint_url, sgroup, silent in g.services[consumed[3] : s_end]:
             # SPARQL 1.1 Federation: the body evaluates on the remote
             # endpoint; its bindings join here like inline data (remote
-            # result sets are broadcast-sized by construction)
-            from ontograph_spark.query.federation import service_solutions
+            # result sets are broadcast-sized by construction). When the
+            # local side is already solved and small, its distinct
+            # shared bindings ship inside the query as a VALUES block
+            # (Fed §2.1 bound join) so the endpoint returns only
+            # compatible rows instead of the unconstrained relation —
+            # the scale path for selective local sides.
+            from ontograph_spark.query.federation import (
+                local_bindings_for_bound_join,
+                service_solutions,
+            )
 
             spark = quads.sparkSession
-            res = service_solutions(spark, endpoint_url, sgroup, silent)
+            binds = (
+                local_bindings_for_bound_join(df, sgroup)
+                if df is not None
+                else None
+            )
+            res = service_solutions(
+                spark, endpoint_url, sgroup, silent, bindings=binds
+            )
             if res is None:
                 continue  # SILENT failure / satisfied ASK ⇒ join identity
             rows, names, snull = res

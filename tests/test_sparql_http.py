@@ -210,6 +210,92 @@ def test_service_federation_joins_remote_bindings(spark, server, client):
     client.delete_all_matches("", "", "")
 
 
+def test_service_bound_join_ships_values_block(
+    spark, server, client, monkeypatch
+):
+    """SPARQL 1.1 Fed §2.1 bound join: with a small, already-solved
+    local side, the shipped SERVICE query carries the local bindings as
+    a VALUES block (asserted on the live wire text), returns identical
+    results to the unconstrained fallback, and the fallback path stays
+    in effect when the binding set exceeds the threshold."""
+    from ontograph_spark.query import federation, sparql_select
+
+    client.add_triples(
+        [
+            new_triple(
+                mk_resource(f"{U}#e{n}"),
+                mk_resource(f"{U}#label"),
+                mk_literal(f"L{n}", "", ""),
+            )
+            for n in (1, 2, 3)
+        ]
+    )
+    local = spark.createDataFrame(
+        [
+            (f"<{U}#e1>", f"<{U}#status>", '"active"', "g"),
+            (f"<{U}#e3>", f"<{U}#status>", '"active"', "g"),
+        ],
+        "subj string, pred string, obj string, graph string",
+    )
+    shipped: list[str] = []
+    real_fetch = federation.fetch_service_bindings
+
+    def spy(url, query, timeout=30.0):
+        shipped.append(query)
+        return real_fetch(url, query, timeout)
+
+    monkeypatch.setattr(federation, "fetch_service_bindings", spy)
+    q = (
+        f'SELECT ?e ?l WHERE {{ ?e <{U}#status> "active" . '
+        f"SERVICE <{server.url}> {{ GRAPH <{U}> {{ "
+        f"?e <{U}#label> ?l }} }} }}"
+    )
+    rows = {tuple(r) for r in sparql_select(local, q).collect()}
+    want = {(f"<{U}#e1>", '"L1"'), (f"<{U}#e3>", '"L3"')}
+    assert rows == want
+    assert len(shipped) == 1 and "VALUES (?e)" in shipped[0]
+    assert f"(<{U}#e1>)" in shipped[0] and f"(<{U}#e3>)" in shipped[0]
+    # threshold 0 ⇒ unconstrained fallback, same results, no VALUES
+    shipped.clear()
+    monkeypatch.setattr(federation, "BOUND_JOIN_MAX", 0)
+    rows2 = {tuple(r) for r in sparql_select(local, q).collect()}
+    assert rows2 == want
+    assert len(shipped) == 1 and "VALUES" not in shipped[0]
+    client.delete_all_matches("", "", "")
+
+
+def test_bound_join_skips_remote_optional_vars(spark, server, client):
+    """A variable that appears only inside a remote OPTIONAL must NOT
+    be constrained by the injected VALUES block — remote rows with it
+    unbound are join-compatible with every local binding."""
+    from ontograph_spark.query import sparql_select
+
+    client.add_triples(
+        [
+            new_triple(
+                mk_resource(f"{U}#e1"),
+                mk_resource(f"{U}#label"),
+                mk_literal("L1", "", ""),
+            ),
+        ]
+    )
+    # local side binds ?l to something the remote OPTIONAL never yields
+    local = spark.createDataFrame(
+        [(f"<{U}#e1>", f"<{U}#want>", '"other"', "g")],
+        "subj string, pred string, obj string, graph string",
+    )
+    # remote: ?e mandatory, ?x optional (never present) — ?x shares
+    # nothing; ?e ships, and the OPTIONAL-unbound ?x joins compatibly
+    q = (
+        f"SELECT ?e ?x WHERE {{ ?e <{U}#want> ?x . "
+        f"SERVICE <{server.url}> {{ GRAPH <{U}> {{ "
+        f"?e <{U}#label> ?l OPTIONAL {{ ?e <{U}#missing> ?x }} }} }} }}"
+    )
+    rows = {tuple(r) for r in sparql_select(local, q).collect()}
+    assert rows == {(f"<{U}#e1>", '"other"')}
+    client.delete_all_matches("", "", "")
+
+
 def test_service_silent_swallows_dead_endpoint(spark):
     from ontograph_spark.query import sparql_select
     from ontograph_spark.query.sparql import SparqlSyntaxError

@@ -265,6 +265,84 @@ def test_turtle_pretty_golden(spark):
     )
 
 
+def test_turtle_pretty_multi_import_golden(spark):
+    """Byte-exact pin of the multi-import prefix map (memory_store.go:
+    268-281 — one @prefix per owl:imports target, abbreviated by the
+    URI segment after the last '/'), with three imports, an
+    ABBREVIATION collision (two imports end in the same segment: a map
+    assignment, so the later import's namespace wins the prefix and the
+    earlier one's URIs stay full IRIs — exactly what the Go
+    ``prefixMap[abbr] = importURI + "#"`` does), and a CURIE-collision
+    pair (one namespace textually containing another). Statement order
+    is store iteration (not part of the pinned contract) — the body
+    compares as a sorted multiset, the header byte-exactly."""
+    uri = "https://www.ontograph.com/multi"
+    s = MemoryQuadStore(spark, uri)
+    s.add_triples(
+        [
+            new_triple(
+                mk_resource(uri),
+                mk_resource("http://www.w3.org/2002/07/owl#imports"),
+                mk_resource("https://deps.example/ontologies/alpha"),
+            ),
+            new_triple(
+                mk_resource(uri),
+                mk_resource("http://www.w3.org/2002/07/owl#imports"),
+                mk_resource("https://deps.example/ontologies/beta"),
+            ),
+            new_triple(
+                mk_resource(uri),
+                mk_resource("http://www.w3.org/2002/07/owl#imports"),
+                mk_resource("https://other.example/vocab/beta"),
+            ),
+            new_triple(
+                mk_resource(f"{uri}#n1"),
+                mk_resource("https://deps.example/ontologies/alpha#rel"),
+                mk_literal("one", "", ""),
+            ),
+            new_triple(
+                mk_resource(f"{uri}#n2"),
+                mk_resource("https://deps.example/ontologies/beta#rel"),
+                mk_literal("two", "", ""),
+            ),
+            new_triple(
+                mk_resource(f"{uri}#n3"),
+                mk_resource("https://other.example/vocab/beta#rel"),
+                mk_literal("three", "", ""),
+            ),
+        ]
+    )
+    buf = io.StringIO()
+    s.serialize_to_turtle(buf, pretty=True)
+    text = buf.getvalue()
+    header, _, body = text.partition(" .\n\n")
+    header += " .\n\n"
+    assert header == (
+        f"@prefix : <{uri}#> .\n"
+        "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .\n"
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        "@prefix owl: <http://www.w3.org/2002/07/owl#> .\n"
+        "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .\n"
+        "@prefix alpha: <https://deps.example/ontologies/alpha#> .\n"
+        # the colliding abbr keeps its first-insertion POSITION with the
+        # last-assigned VALUE (dict update ≙ Go map assignment)
+        "@prefix beta: <https://other.example/vocab/beta#> .\n"
+        f"@base <{uri}> .\n\n"
+    )
+    statements = sorted(st for st in body.split("\n\n") if st.strip())
+    assert statements == sorted(
+        [
+            f"<{uri}> owl:imports <https://deps.example/ontologies/alpha> .",
+            f"<{uri}> owl:imports <https://deps.example/ontologies/beta> .",
+            f"<{uri}> owl:imports <https://other.example/vocab/beta> .",
+            ':n1 alpha:rel "one" .',
+            # the deps beta namespace LOST the abbr — its URIs stay full
+            f':n2 <https://deps.example/ontologies/beta#rel> "two" .',
+            ':n3 beta:rel "three" .',
+        ]
+    )
+
+
 def test_turtle_pretty_reference_quirks(spark):
     """Two byte-level behaviors transcribed from memory_store.go:
     (1) the blank-line pass is a bare ``strings.Replace(content, " .",
