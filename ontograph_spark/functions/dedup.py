@@ -741,7 +741,7 @@ def near_dup_keep(
     dedup pass retains.
 
     Execution: pair sets under ``pairs_driver_threshold`` solve with a
-    plain min-id union-find on the driver (one bounded ``take``; a
+    plain min-id union-find on the driver (one cache-served collect; a
     distributed iteration on a tiny graph is pure scheduler overhead) —
     larger sets run the distributed min-label propagation
     (ontograph_spark.pipeline.canon.connected_components). Both paths
@@ -752,22 +752,24 @@ def near_dup_keep(
         pairs = ngram_jaccard_bitmap_pairs(
             df, id_col, text_col, shingle_k=shingle_k, threshold=threshold
         )
-    # Materialize the pair edges ONCE: the candidate-pair job (banded
-    # self-join + bitmap verify) is the expensive part, and without this
-    # cache Spark's incremental-limit `take` plus any downstream reference
-    # (the distributed-CC fallback, the final mapping join) would each
-    # re-execute it from scratch — measured as a 5x wall regression at
-    # sf0.1. persist() beats localCheckpoint() here: it caches partitions
-    # as the take computes them without cutting the plan to an RDD (the
-    # RDD conversion alone measured ~1.5 s extra), and a partial cache
-    # from an early-stopping take is still correct per-partition.
+    # Materialize the pair edges ONCE, with one fully-parallel pass: the
+    # candidate-pair job (banded self-join + bitmap verify) is the
+    # expensive part, and without this cache any downstream reference
+    # (the regime probe, the distributed-CC fallback, the final mapping
+    # join) would re-execute it from scratch — measured as a 5x wall
+    # regression at sf0.1. count() over the persisted frame computes all
+    # partitions concurrently; the old incremental-limit take() ran
+    # escalating 1→4→16… partition jobs mostly sequentially, ~10 s of
+    # pure scheduling at sf0.1. persist() beats localCheckpoint() here
+    # (the RDD conversion cut alone measured ~1.5 s extra).
     from pyspark import StorageLevel
 
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    rows = edges.take(pairs_driver_threshold + 1)
-    if len(rows) <= pairs_driver_threshold:
+    n_edges = edges.count()
+    if n_edges <= pairs_driver_threshold:
+        rows = edges.collect()  # served from the cache just built
         parent: dict = {}
 
         def find(x):
@@ -783,9 +785,9 @@ def near_dup_keep(
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         mapping = [(n, find(n)) for n in parent]
-        # the take above materialized everything the driver path needs —
-        # release the cached partitions now (repeated calls in a
-        # long-lived session would otherwise accumulate until an
+        # the collect above materialized everything the driver path
+        # needs — release the cached partitions now (repeated calls in
+        # a long-lived session would otherwise accumulate until an
         # external clearCache)
         edges.unpersist()
         comp = df.sparkSession.createDataFrame(

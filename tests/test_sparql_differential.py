@@ -742,7 +742,7 @@ def test_never_bound_vars_match_naive(spark):
                 f"SELECT {' '.join('?' + v for v in bound)} ?w WHERE {{ "
                 + " ".join(_pat_text(p) for p in pats)
                 + " BIND(STR(?u) AS ?w) "
-                + f" FILTER{_expr_text(expr)} }}"
+                + f" FILTER({_expr_text(expr)}) }}"
             )
             want = Counter(
                 tuple([mu.get(v) for v in bound] + [None])
@@ -754,7 +754,7 @@ def test_never_bound_vars_match_naive(spark):
             q = (
                 f"SELECT {' '.join('?' + v for v in bound)} WHERE {{ "
                 + " ".join(_pat_text(p) for p in pats)
-                + f" FILTER{_expr_text(expr)} }}"
+                + f" FILTER({_expr_text(expr)}) }}"
             )
             want = Counter(
                 tuple(mu.get(v) for v in bound)
