@@ -139,8 +139,13 @@ def term_to_binding(term: str) -> dict:
         if dt:
             b["datatype"] = dt
         return b
-    # non-term scalars (COUNT results, bare graph URIs from GRAPH ?g)
-    return {"type": "literal", "value": str(term)}
+    # bare graph URIs from GRAPH ?g: the engine's graph column holds
+    # un-bracketed URIs — a conformant server answers them as uri
+    # bindings (what Blazegraph does), so a federated client's
+    # binding_to_term re-encodes them as <uri> resource terms
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", str(term)):
+        return {"type": "uri", "value": str(term)}
+    return {"type": "literal", "value": str(term)}  # other bare scalars
 
 
 class LocalSparqlEndpoint:

@@ -12,10 +12,16 @@ construction (an endpoint answering millions of rows over HTTP is the
 anti-pattern federation docs warn about) — so the local join is a
 broadcast hash join against the distributed solution set.
 
-Scope (documented): the service body is a plain triple block,
-optionally under ``GRAPH <uri>`` — the dominant federation shape
-(fetch remote bindings by BGP). ``SERVICE SILENT`` turns endpoint
-failures into the empty join-identity per the spec.
+Scope (documented): the service body ships triple blocks, property
+paths, FILTER (incl. [NOT] EXISTS), OPTIONAL, UNION and VALUES,
+optionally under ``GRAPH <uri>`` or ``GRAPH ?var`` — the federation
+shapes that serialize faithfully. MINUS/BIND (textual-position
+semantics a flat serializer cannot reproduce) and nested
+SERVICE/subqueries raise loudly. ``SERVICE SILENT`` turns endpoint
+failures into the empty join-identity per the spec. When the local
+side of the join is already solved and small, its distinct shared
+bindings ship inside the query as a VALUES block (SPARQL 1.1 Fed
+§2.1 bound join — see ``BOUND_JOIN_MAX``).
 """
 
 from __future__ import annotations
@@ -126,16 +132,48 @@ def term_to_surface(term: str | None) -> str:
     return term  # IRIs (and any other encoded form) are surface syntax
 
 
+def path_to_sparql(node) -> str:
+    """Serialize a property-path AST back to SPARQL surface syntax
+    (conservatively parenthesized — extra parens are legal)."""
+    k = node[0]
+    if k == "link":
+        return node[1]
+    if k == "inv":
+        return f"^({path_to_sparql(node[1])})"
+    if k == "seq":
+        return "/".join(f"({path_to_sparql(x)})" for x in node[1])
+    if k == "alt":
+        return "(" + "|".join(path_to_sparql(x) for x in node[1]) + ")"
+    if k == "plus":
+        return f"({path_to_sparql(node[1])})+"
+    if k == "star":
+        return f"({path_to_sparql(node[1])})*"
+    if k == "zeroone":
+        return f"({path_to_sparql(node[1])})?"
+    if k == "neg":
+        return "!(" + "|".join(node[1]) + ")"
+    from ontograph_spark.query.sparql import SparqlSyntaxError
+
+    raise SparqlSyntaxError(f"path node {node!r} has no serialization")
+
+
 def _mandatory_vars(grp) -> set[str]:
     """Variables bound by the service body's top-level (non-OPTIONAL)
-    triple patterns — the only ones safe to constrain with an injected
-    VALUES block. A variable that appears only inside a remote OPTIONAL
-    may come back unbound, and unbound is join-compatible with every
-    local binding, so constraining it would wrongly drop rows."""
+    triple/path patterns and GRAPH ?var slots — the only ones safe to
+    constrain with an injected VALUES block. A variable that appears
+    only inside a remote OPTIONAL (or only in some UNION branches /
+    with UNDEF cells in a data block) may come back unbound, and
+    unbound is join-compatible with every local binding, so
+    constraining it would wrongly drop rows. Path endpoints are always
+    bound in solutions (a zero-length walk still binds both ends)."""
     out: set[str] = set()
     for pat in grp.patterns:
-        for s in (pat.s, pat.p, pat.o):
-            if s[0] == "var":
+        for s in (pat.s, pat.p, pat.o, pat.g):
+            if s is not None and s[0] == "var":
+                out.add(s[1])
+    for pp in grp.paths:
+        for s in (pp.s, pp.o, pp.g):
+            if s is not None and s[0] == "var":
                 out.add(s[1])
     return out
 
@@ -268,45 +306,47 @@ def service_query_text(
         return val
 
     def body(grp) -> str:
-        if (
-            grp.unions
-            or grp.minuses
-            or grp.binds
-            or grp.values
-            or grp.subqueries
-            or grp.services
-        ):
+        if grp.minuses or grp.binds or grp.subqueries or grp.services:
+            # MINUS and BIND apply at their textual position
+            # (§18.2.2.6) which this flat serializer cannot reproduce;
+            # nested SERVICE/subqueries stay local by design
             raise SparqlSyntaxError(
-                "SERVICE bodies support triple blocks, FILTER and "
-                "OPTIONAL (optionally under GRAPH <uri>) — move "
-                "UNION/MINUS/BIND/VALUES/subqueries outside the "
-                "SERVICE group"
+                "SERVICE bodies support triple blocks, property paths, "
+                "FILTER, OPTIONAL, UNION and VALUES (optionally under "
+                "GRAPH <uri>/?var) — move MINUS/BIND/subqueries "
+                "outside the SERVICE group"
             )
-        by_graph: dict[str | None, list[str]] = {}
+        by_graph: dict[tuple | None, list[str]] = {}
         for pat in grp.patterns:
             text = f"{slot(pat.s)} {slot(pat.p)} {slot(pat.o)} ."
-            if pat.g is None:
-                key = None
-            elif pat.g[0] == "term":
-                key = pat.g[1]
-            else:
-                raise SparqlSyntaxError(
-                    "SERVICE bodies support GRAPH <uri> only (a GRAPH "
-                    "?var over a remote dataset is not shippable "
-                    "verbatim)"
-                )
-            by_graph.setdefault(key, []).append(text)
-        if grp.paths:
-            raise SparqlSyntaxError(
-                "property paths inside SERVICE are not shippable — "
-                "move the path outside the SERVICE group"
-            )
+            by_graph.setdefault(pat.g, []).append(text)
+        for pp in grp.paths:
+            text = f"{slot(pp.s)} {path_to_sparql(pp.path)} {slot(pp.o)} ."
+            by_graph.setdefault(pp.g, []).append(text)
         parts = []
         for key, triples in by_graph.items():
             block = " ".join(triples)
+            if key is None:
+                parts.append(block)
+            elif key[0] == "term":
+                # graph slots carry the BARE uri for constants
+                parts.append(f"GRAPH <{key[1]}> {{ {block} }}")
+            else:
+                parts.append(f"GRAPH {slot(key)} {{ {block} }}")
+        for branches in grp.unions:
             parts.append(
-                block if key is None else f"GRAPH <{key}> {{ {block} }}"
+                " UNION ".join(f"{{ {body(b)} }}" for b in branches)
             )
+        for names, rows in grp.values:
+            for n in names:
+                if n not in vars_:
+                    vars_.append(n)
+            cells = " ".join(
+                "(" + " ".join(term_to_surface(c) for c in row) + ")"
+                for row in rows
+            )
+            head = " ".join(f"?{n}" for n in names)
+            parts.append(f"VALUES ({head}) {{ {cells} }}")
         for fx in grp.filters:
             parts.append(f"FILTER({_filter_text(fx)})")
         for opt in grp.optionals:
@@ -329,9 +369,11 @@ def service_query_text(
         del vars_[len(outer):]  # EXISTS vars don't join back
         return text
 
-    if not group.patterns and not group.optionals:
+    if not (
+        group.patterns or group.optionals or group.paths or group.unions
+    ):
         raise SparqlSyntaxError(
-            "SERVICE bodies need at least one triple pattern"
+            "SERVICE bodies need at least one triple or path pattern"
         )
     inner = body(group)
     if not vars_:

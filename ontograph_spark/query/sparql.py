@@ -101,10 +101,12 @@ tests/test_sparql_query.py alongside the repo's own
   ``UNDEF`` as an unbound cell, compiled to a (broadcastable)
   literal DataFrame joined into the group;
 * ``SERVICE [SILENT] <endpoint> { … }`` federation (SPARQL 1.1
-  Federated Query): the body — a plain triple block, optionally under
-  ``GRAPH <uri>`` — ships to the remote endpoint over the reference
-  client's wire protocol and the bindings join back in like inline
-  data (query/federation.py); SILENT turns endpoint failure into the
+  Federated Query): the body — triple blocks, property paths, FILTER,
+  OPTIONAL, UNION, VALUES, optionally under ``GRAPH <uri>/?var`` —
+  ships to the remote endpoint over the reference client's wire
+  protocol and the bindings join back in like inline data
+  (query/federation.py), with a VALUES bound join (Fed §2.1) when the
+  solved local side is small; SILENT turns endpoint failure into the
   empty join identity;
 * ``ORDER BY [ASC|DESC](?v | expr) …``, ``LIMIT``, ``OFFSET``;
   ``?var`` keys follow §15.1's cross-kind tiers (unbound < IRI <

@@ -319,9 +319,10 @@ def test_service_silent_swallows_dead_endpoint(spark):
 
 
 def test_service_body_restriction_raises(spark):
-    """Triple blocks, FILTER and OPTIONAL ship to the remote endpoint;
-    the still-unshippable shapes (UNION/MINUS/BIND/VALUES/subqueries)
-    raise loudly instead of answering wrong."""
+    """Triple blocks, paths, FILTER, OPTIONAL, UNION and VALUES ship
+    to the remote endpoint; the order-sensitive shapes the flat
+    serializer cannot reproduce (MINUS/BIND/subqueries) raise loudly
+    instead of answering wrong."""
     from ontograph_spark.query import sparql_select
     from ontograph_spark.query.sparql import SparqlSyntaxError
 
@@ -333,8 +334,87 @@ def test_service_body_restriction_raises(spark):
         sparql_select(
             local,
             "SELECT ?s WHERE { SERVICE <http://x/sparql> { "
-            "{ ?s <u:q> ?z } UNION { ?s <u:r> ?z } } }",
+            "?s <u:q> ?z MINUS { ?s <u:r> ?z } } }",
         ).collect()
+    with pytest.raises(SparqlSyntaxError, match="SERVICE bodies"):
+        sparql_select(
+            local,
+            "SELECT ?s ?y WHERE { SERVICE <http://x/sparql> { "
+            "?s <u:q> ?z BIND(STR(?z) AS ?y) } }",
+        ).collect()
+
+
+def test_service_ships_paths_union_values_graph_var(
+    spark, server, client, monkeypatch
+):
+    """Round-5 SERVICE body widening: property paths, UNION, VALUES
+    and GRAPH ?var all serialize into the shipped query and evaluate
+    on the live remote endpoint."""
+    from ontograph_spark.query import federation, sparql_select
+
+    client.add_triples(
+        [
+            new_triple(
+                mk_resource(f"{U}#a"),
+                mk_resource(f"{U}#next"),
+                mk_resource(f"{U}#b"),
+            ),
+            new_triple(
+                mk_resource(f"{U}#b"),
+                mk_resource(f"{U}#next"),
+                mk_resource(f"{U}#c"),
+            ),
+            new_triple(
+                mk_resource(f"{U}#c"),
+                mk_resource(f"{U}#alt"),
+                mk_literal("tail", "", ""),
+            ),
+        ]
+    )
+    local = spark.createDataFrame(
+        [(f"<{U}#a>", f"<{U}#status>", '"active"', "g")],
+        "subj string, pred string, obj string, graph string",
+    )
+    shipped: list[str] = []
+    real_fetch = federation.fetch_service_bindings
+
+    def spy(url, query, timeout=30.0):
+        shipped.append(query)
+        return real_fetch(url, query, timeout)
+
+    monkeypatch.setattr(federation, "fetch_service_bindings", spy)
+    # path (+ closure) inside SERVICE
+    q = (
+        f'SELECT ?e ?y WHERE {{ ?e <{U}#status> "active" . '
+        f"SERVICE <{server.url}> {{ GRAPH <{U}> {{ "
+        f"?e <{U}#next>+ ?y }} }} }}"
+    )
+    rows = {tuple(r) for r in sparql_select(local, q).collect()}
+    assert rows == {
+        (f"<{U}#a>", f"<{U}#b>"),
+        (f"<{U}#a>", f"<{U}#c>"),
+    }
+    assert "+" in shipped[-1]
+    # UNION + VALUES inside SERVICE
+    q2 = (
+        f"SELECT ?s ?v WHERE {{ SERVICE <{server.url}> {{ GRAPH <{U}> {{ "
+        f"{{ ?s <{U}#next> ?v }} UNION {{ ?s <{U}#alt> ?v }} "
+        f"VALUES (?s) {{ (<{U}#b>) (<{U}#c>) }} }} }} }}"
+    )
+    rows2 = {tuple(r) for r in sparql_select(local, q2).collect()}
+    assert rows2 == {
+        (f"<{U}#b>", f"<{U}#c>"),
+        (f"<{U}#c>", '"tail"'),
+    }
+    assert "UNION" in shipped[-1] and "VALUES (?s)" in shipped[-1]
+    # GRAPH ?var inside SERVICE binds the remote graph name
+    q3 = (
+        f"SELECT ?g ?y WHERE {{ SERVICE <{server.url}> {{ "
+        f"GRAPH ?g {{ <{U}#b> <{U}#next> ?y }} }} }}"
+    )
+    rows3 = {tuple(r) for r in sparql_select(local, q3).collect()}
+    assert rows3 == {(f"<{U}>", f"<{U}#c>")}
+    client.delete_all_matches("", "", "")
 
 
 def test_graph_store_protocol_lifecycle(server):
