@@ -13,6 +13,7 @@ the Blazegraph role.
 from __future__ import annotations
 
 import json
+import os
 import urllib.error
 import urllib.request
 
@@ -582,4 +583,81 @@ def test_federated_service_with_filter_and_optional(spark, server):
             '"three"',
         ),
     ]
+    back.delete_all_matches("", "", "")
+
+
+# ---------------------------------------------------------------------------
+# federation round-trip differential: local evaluation vs SERVICE-to-self
+# ---------------------------------------------------------------------------
+
+FED_CASES = int(os.environ.get("SPARQL_FED_CASES", "20"))
+
+
+def test_service_roundtrip_matches_local_differential(spark, server):
+    """Seeded differential for the SERVICE serializer: random bodies
+    (BGP / property path / UNION / VALUES under GRAPH <uri>) evaluate
+    once LOCALLY over the same quads and once SHIPPED through the live
+    HTTP endpoint hosting those quads — the solution bags must match.
+    Certifies that service_query_text's round-trip (incl. the bound
+    join's injected VALUES) preserves semantics, not just syntax."""
+    import random
+    from collections import Counter
+
+    from ontograph_spark.query import sparql_select
+    from ontograph_spark.ontology.resources import new_triple
+    from ontograph_spark.terms import mk_resource
+
+    G2 = "https://g.example/fed-diff"
+    back = SparqlQuadStore(G2, server.url)
+    subs = [f"{G2}#n{i}" for i in range(4)]
+    preds = [f"{G2}#p", f"{G2}#q"]
+    for i, seed in enumerate(range(7000, 7000 + FED_CASES)):
+        rng = random.Random(seed)
+        n = rng.randint(2, 8)
+        triples = sorted({
+            (rng.choice(subs), rng.choice(preds), rng.choice(subs))
+            for _ in range(n)
+        })
+        back.delete_all_matches("", "", "")
+        back.add_triples(
+            [
+                new_triple(mk_resource(s), mk_resource(p), mk_resource(o))
+                for s, p, o in triples
+            ]
+        )
+        kind = rng.choice(["bgp", "path", "union", "values"])
+        p1, p2 = rng.choice(preds), rng.choice(preds)
+        if kind == "bgp":
+            body = f"?x <{p1}> ?y . ?y <{p2}> ?z ."
+            out = ["x", "y", "z"]
+        elif kind == "path":
+            body = f"?x (<{p1}>|^<{p2}>)+ ?y ."
+            out = ["x", "y"]
+        elif kind == "union":
+            body = f"{{ ?x <{p1}> ?y }} UNION {{ ?x <{p2}> ?y }}"
+            out = ["x", "y"]
+        else:
+            body = (
+                f"?x <{p1}> ?y VALUES (?x) {{ (<{subs[0]}>) (<{subs[1]}>) }}"
+            )
+            out = ["x", "y"]
+        proj = " ".join(f"?{v}" for v in out)
+        inner = f"GRAPH <{G2}> {{ {body} }}"
+        local_df = spark.createDataFrame(
+            [(f"<{s}>", f"<{p}>", f"<{o}>", G2) for s, p, o in triples],
+            "subj string, pred string, obj string, graph string",
+        )
+        q_local = f"SELECT {proj} WHERE {{ {inner} }}"
+        q_fed = (
+            f"SELECT {proj} WHERE {{ SERVICE <{server.url}> "
+            f"{{ {inner} }} }}"
+        )
+        empty_local = local_df.limit(0)
+        want = Counter(
+            tuple(r) for r in sparql_select(local_df, q_local).collect()
+        )
+        got = Counter(
+            tuple(r) for r in sparql_select(empty_local, q_fed).collect()
+        )
+        assert got == want, f"case {i} seed {seed} {kind}: {q_fed!r} over {triples}"
     back.delete_all_matches("", "", "")
