@@ -2379,17 +2379,26 @@ def _compile_cmp(op: str, lhs, rhs, columns: set[str]) -> Column:
         mode = "value"
     else:
         mode = "term"
-    lc = _cmp_side(lhs, mode, columns)
-    rc = _cmp_side(rhs, mode, columns)
-    if op in ("<", "<=", ">", ">=") and mode == "term":
+    if op in ("<", "<=", ">", ">=") and modes <= {"var", "term", "value"}:
         # SPARQL §17.3 operator mapping for order comparisons between
-        # two variables, dispatched on DATATYPE (not castability):
-        # numeric <op> numeric compares values; plain / xsd:string
-        # pairs compare codepoints (so "10" < "9" is TRUE — the
-        # Blazegraph-backed reference's fn:compare answer); dateTime
-        # pairs compare instants; boolean pairs false < true; any
-        # other or mixed combination (IRI, lang-tagged, xsd:string vs
-        # numeric) is a type error ⇒ FALSE ⇒ row dropped.
+        # term-shaped operands (variables, term constants, string
+        # constants — anything whose datatype travels with it),
+        # dispatched on DATATYPE (not castability): numeric <op>
+        # numeric compares values; plain / xsd:string pairs compare
+        # codepoints (so "10" < "9" is TRUE — the Blazegraph-backed
+        # reference's fn:compare answer); dateTime pairs compare
+        # instants; boolean pairs false < true; any other or mixed
+        # combination (IRI, lang-tagged, xsd:string vs numeric/boolean)
+        # is a type error ⇒ NULL ⇒ row dropped. Numeric-constant and
+        # numeric-builtin operands keep the value-mode fast path below
+        # (the engine's documented castability convention).
+        def _enc_term(node) -> Column:
+            if node[0] == "str":
+                return F.lit(f'"{node[1]}"')
+            return _cmp_side(node, "term", columns)
+
+        lc = _enc_term(lhs)
+        rc = _enc_term(rhs)
         lv = term_value_col(lc)
         rv = term_value_col(rc)
         ln = lv.try_cast("double")
@@ -2431,6 +2440,8 @@ def _compile_cmp(op: str, lhs, rhs, columns: set[str]) -> Column:
                 _vcmp(lv == F.lit("true"), rv == F.lit("true")),
             )
         )
+    lc = _cmp_side(lhs, mode, columns)
+    rc = _cmp_side(rhs, mode, columns)
     return {
         "=": lc == rc,
         "!=": lc != rc,
