@@ -1065,3 +1065,94 @@ def test_order_by_cross_kind_tiers_match_naive(spark):
         rows = sparql_select(_df(spark, triples), q).collect()
         got = [(r["x"], r["y"], r["z"]) for r in rows]
         assert got == want, f"case {i} seed {seed}: {q!r} over {triples}"
+
+
+# ---------------------------------------------------------------------------
+# nested EXISTS in boolean expressions over possibly-unbound shared vars
+# ---------------------------------------------------------------------------
+
+
+def _naive_exists(triples, pat, mu):
+    """EXISTS under substitution semantics: bound vars of mu substitute
+    into the pattern; remaining vars are free but must still bind
+    CONSISTENTLY within the pattern (a repeated free var joins)."""
+    for tr in triples:
+        free: dict = {}
+        ok = True
+        for (kind, val), actual in zip(pat, tr):
+            if kind == "term":
+                if actual != val:
+                    ok = False
+                    break
+            else:
+                bound = mu.get(val)
+                if bound is None:
+                    bound = free.get(val)
+                if bound is not None and bound != actual:
+                    ok = False
+                    break
+                free[val] = actual
+        if ok:
+            return True
+    return False
+
+
+def test_nested_exists_over_nullable_match_naive(spark):
+    """FILTER(EXISTS { pat } || / && cmp) after an OPTIONAL that leaves
+    a shared variable possibly unbound: the engine's semi/anti bag
+    partition must match naive substitution semantics (an unbound
+    shared var leaves the inner pattern free), including under ! and
+    with the error algebra of the other arm."""
+    for i, seed in enumerate(_seeds("nex")):
+        rng = random.Random(seed)
+        triples = _quads(rng)
+        pats = [(("var", "x"), ("term", rng.choice(PREDS)), ("var", "y"))]
+        opt = [(("var", "y"), ("term", rng.choice(PREDS)), ("var", "z"))]
+        # EXISTS pattern shares the possibly-unbound ?z (and sometimes ?x)
+        ex_pat = (
+            ("var", "z") if rng.random() < 0.7 else ("var", "x"),
+            ("term", rng.choice(PREDS)),
+            _slot(rng, OBJECTS),
+        )
+        neg = rng.random() < 0.3
+        conn = rng.choice(["||", "&&"])
+        other = ("cmp", rng.choice(["=", "!="]), ("var", "x"),
+                 ("const", rng.choice(SUBJECTS)))
+        ex_text = f"EXISTS {{ {_pat_text(ex_pat)} }}"
+        if neg:
+            ex_text = f"(!{ex_text})"
+        q = (
+            "SELECT ?x ?y ?z WHERE { "
+            + _pat_text(pats[0])
+            + " OPTIONAL { "
+            + _pat_text(opt[0])
+            + " } "
+            + f"FILTER({ex_text} {conn} {_expr_text(other)}) }}"
+        )
+        pre = naive_bgp(triples, pats)
+        rsol = naive_bgp(triples, opt)
+        joined = []
+        for mu in pre:
+            matches = [
+                {**mu, "z": nu["z"]} for nu in rsol if nu["y"] == mu["y"]
+            ]
+            joined.extend(matches if matches else [{**mu, "z": None}])
+        kept = []
+        for mu in joined:
+            e = _naive_exists(triples, ex_pat, mu)
+            if neg:
+                e = not e
+            o = _naive_bool3(other, mu)
+            if conn == "||":
+                v = True if (e or o is True) else (None if o is None else False)
+            else:
+                v = (
+                    False
+                    if (not e or o is False)
+                    else (None if o is None else True)
+                )
+            if v is True:
+                kept.append(mu)
+        want = Counter((m["x"], m["y"], m.get("z")) for m in kept)
+        got = _engine_bag(spark, triples, q, ["x", "y", "z"])
+        assert got == want, f"case {i} seed {seed}: {q!r} over {triples}"
