@@ -67,8 +67,9 @@ _UPDATE_RE = re.compile(
     re.S | re.I,
 )
 
-#: an IRIREF or a prefixed name (resolved via the update's prologue)
-_IRI_OR_PNAME = r"(?:<[^<>\s]+>|[A-Za-z_][\w-]*:[\w.-]+)"
+#: an IRIREF or a prefixed name, incl. the empty prefix ``:local``
+#: (resolved via the update's prologue)
+_IRI_OR_PNAME = r"(?:<[^<>\s]+>|(?:[A-Za-z_][\w-]*)?:[\w.-]+)"
 
 _CREATE_RE = re.compile(
     rf"\s*CREATE\s+(SILENT\s+)?GRAPH\s+({_IRI_OR_PNAME})\s*$", re.I
@@ -93,13 +94,17 @@ _PROLOGUE_RE = re.compile(
 )
 
 
-def _strip_prologue(text: str) -> tuple[dict[str, str], str]:
+_BASE_RE = re.compile(r"BASE\s+<([^<>\s]*)>", re.I)
+
+
+def _strip_prologue(text: str) -> tuple[dict[str, str], str | None, str]:
     """Strip leading comments and BASE/PREFIX declarations from an
-    update, returning the collected prefix map and the remaining text —
+    update, returning (prefix map, base IRI or None, remaining text) —
     so 'PREFIX … CREATE GRAPH <g>' or a leading comment still routes to
     the CREATE/LOAD fast forms instead of falling through to the Modify
     template parser with an unrelated error."""
     prefixes: dict[str, str] = {}
+    base: str | None = None
     pos = 0
     while True:
         m = _PROLOGUE_RE.match(text, pos)
@@ -107,14 +112,28 @@ def _strip_prologue(text: str) -> tuple[dict[str, str], str]:
             break
         if m.group(2) is not None:
             prefixes[m.group(1) or ""] = m.group(2)
+        else:
+            bm = _BASE_RE.search(m.group(0))
+            if bm is not None:
+                base = bm.group(1)
         pos = m.end()
-    return prefixes, text[pos:]
+    return prefixes, base, text[pos:]
 
 
-def _resolve_iri(tok: str, prefixes: dict[str, str]) -> str:
-    """An ``<iri>`` or ``pfx:local`` token → the bare IRI text."""
+def _resolve_iri(
+    tok: str, prefixes: dict[str, str], base: str | None = None
+) -> str:
+    """An ``<iri>`` or ``pfx:local`` token → the bare IRI text, with
+    relative IRIREFs resolved against the prologue's BASE (RFC 3986 via
+    urljoin — a relative IRI with no BASE stays as written, like a
+    parser with an empty base)."""
     if tok.startswith("<"):
-        return tok[1:-1]
+        iri = tok[1:-1]
+        if base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
+            import urllib.parse
+
+            return urllib.parse.urljoin(base, iri)
+        return iri
     pfx, local = tok.split(":", 1)
     if pfx not in prefixes:
         raise SparqlSyntaxError(f"unknown prefix {pfx!r} in {tok!r}")
@@ -139,13 +158,11 @@ def term_to_binding(term: str) -> dict:
         if dt:
             b["datatype"] = dt
         return b
-    # bare graph URIs from GRAPH ?g: the engine's graph column holds
-    # un-bracketed URIs — a conformant server answers them as uri
-    # bindings (what Blazegraph does), so a federated client's
-    # binding_to_term re-encodes them as <uri> resource terms
-    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", str(term)):
-        return {"type": "uri", "value": str(term)}
-    return {"type": "literal", "value": str(term)}  # other bare scalars
+    # remaining bare scalars (GROUP_CONCAT strings, STR() projections):
+    # plain literals. GRAPH ?g needs no special case here — graph
+    # variables bind encoded <uri> resource terms (sparql._graph_term),
+    # so they serialize as uri bindings through is_resource above.
+    return {"type": "literal", "value": str(term)}
 
 
 class LocalSparqlEndpoint:
@@ -241,12 +258,12 @@ class LocalSparqlEndpoint:
         WHERE group over the whole dataset and commit each target graph's
         instantiated batch distributed (merge_df / delete_df — no
         driver-side triple lists)."""
-        prefixes, body = _strip_prologue(sparql)
+        prefixes, base, body = _strip_prologue(sparql)
         cm = _CREATE_RE.match(body)
         if cm is not None:
             # CREATE [SILENT] GRAPH <g> (§3.2.1): make the graph managed;
             # an already-managed graph is an error unless SILENT
-            uri = _resolve_iri(cm.group(2), prefixes)
+            uri = _resolve_iri(cm.group(2), prefixes, base)
             if uri in self._stores and not cm.group(1):
                 raise SparqlSyntaxError(f"graph already exists: <{uri}>")
             self.store_for(uri)
@@ -255,9 +272,9 @@ class LocalSparqlEndpoint:
         if lm is not None:
             self._load(
                 silent=lm.group(1) is not None,
-                source=_resolve_iri(lm.group(2), prefixes),
+                source=_resolve_iri(lm.group(2), prefixes, base),
                 into=(
-                    _resolve_iri(lm.group(3), prefixes)
+                    _resolve_iri(lm.group(3), prefixes, base)
                     if lm.group(3)
                     else None
                 ),
@@ -389,24 +406,37 @@ class LocalSparqlEndpoint:
                 quads = read_ntriples(self.spark, path, into)
             if into is not None:
                 quads = quads.withColumn("graph", F.lit(into))
-                self.store_for(into).merge_df(quads)
-                return
-            # route per named graph: the distinct graph list is
-            # vocabulary-sized (one store per graph by construction)
-            graphs = [r[0] for r in quads.select("graph").distinct().collect()]
-            if "" in graphs:
-                raise SparqlSyntaxError(
-                    f"LOAD <{source}>: document has graph-less statements"
-                    " and no INTO GRAPH was given"
-                )
-            for g in graphs:
-                self.store_for(g).merge_df(quads.where(F.col("graph") == g))
+                # force the read here so a parse/fetch failure is still
+                # a SILENT-swallowable load error, while the merge below
+                # stays outside the catch
+                quads = quads.localCheckpoint(eager=True)
+                graphs = [into]
+            else:
+                # route per named graph: the distinct graph list is
+                # vocabulary-sized (one store per graph by construction)
+                graphs = [
+                    r[0] for r in quads.select("graph").distinct().collect()
+                ]
         except Exception as e:
             if silent:
-                return  # LOAD SILENT: failure leaves the store unchanged
+                return  # LOAD SILENT: read failure leaves stores unchanged
             if isinstance(e, SparqlSyntaxError):
                 raise
             raise SparqlSyntaxError(f"LOAD <{source}> failed: {e}") from e
+        # usage errors and the merges sit OUTSIDE the silent catch:
+        # SILENT swallows fetch/parse trouble (§3.1.4), never a
+        # locally-detectable misuse, and a half-applied merge failing
+        # quietly would be data loss
+        if "" in graphs:
+            raise SparqlSyntaxError(
+                f"LOAD <{source}>: document has graph-less statements"
+                " and no INTO GRAPH was given"
+            )
+        if into is not None:
+            self.store_for(into).merge_df(quads)
+            return
+        for g in graphs:
+            self.store_for(g).merge_df(quads.where(F.col("graph") == g))
 
     @staticmethod
     def _data_triples(group: Group, form: str) -> dict[str, list[Triple]]:

@@ -157,6 +157,17 @@ def path_to_sparql(node) -> str:
     raise SparqlSyntaxError(f"path node {node!r} has no serialization")
 
 
+def _values_block(names: list[str], rows: list[tuple]) -> str:
+    """Serialize a VALUES data block — shared by in-body data blocks
+    and the bound-join injection."""
+    cells = " ".join(
+        "(" + " ".join(term_to_surface(c) for c in row) + ")"
+        for row in rows
+    )
+    head = " ".join(f"?{n}" for n in names)
+    return f"VALUES ({head}) {{ {cells} }}"
+
+
 def _mandatory_vars(grp) -> set[str]:
     """Variables bound by the service body's top-level (non-OPTIONAL)
     triple/path patterns and GRAPH ?var slots — the only ones safe to
@@ -194,6 +205,14 @@ def local_bindings_for_bound_join(
     ]
     if not shared:
         return None
+    # the probe is a full pass over the local side — persist it first so
+    # the SERVICE join (and everything downstream of it) reuses the
+    # partitions the probe computed instead of re-deriving the local
+    # plan from scratch. The cache's lifetime is the plan's, like every
+    # operator-level persist in this engine.
+    from pyspark import StorageLevel
+
+    df.persist(StorageLevel.MEMORY_AND_DISK)
     rows = df.select(*shared).distinct().limit(limit + 1).collect()
     if len(rows) > limit:
         return None
@@ -308,49 +327,66 @@ def service_query_text(
     def body(grp) -> str:
         if grp.minuses or grp.binds or grp.subqueries or grp.services:
             # MINUS and BIND apply at their textual position
-            # (§18.2.2.6) which this flat serializer cannot reproduce;
-            # nested SERVICE/subqueries stay local by design
+            # (§18.2.2.6) in ways the rendered text cannot always
+            # reproduce faithfully; nested SERVICE/subqueries stay
+            # local by design
             raise SparqlSyntaxError(
                 "SERVICE bodies support triple blocks, property paths, "
                 "FILTER, OPTIONAL, UNION and VALUES (optionally under "
                 "GRAPH <uri>/?var) — move MINUS/BIND/subqueries "
                 "outside the SERVICE group"
             )
-        by_graph: dict[tuple | None, list[str]] = {}
-        for pat in grp.patterns:
-            text = f"{slot(pat.s)} {slot(pat.p)} {slot(pat.o)} ."
-            by_graph.setdefault(pat.g, []).append(text)
-        for pp in grp.paths:
-            text = f"{slot(pp.s)} {path_to_sparql(pp.path)} {slot(pp.o)} ."
-            by_graph.setdefault(pp.g, []).append(text)
-        parts = []
-        for key, triples in by_graph.items():
-            block = " ".join(triples)
-            if key is None:
-                parts.append(block)
-            elif key[0] == "term":
-                # graph slots carry the BARE uri for constants
-                parts.append(f"GRAPH <{key[1]}> {{ {block} }}")
-            else:
-                parts.append(f"GRAPH {slot(key)} {{ {block} }}")
-        for branches in grp.unions:
-            parts.append(
-                " UNION ".join(f"{{ {body(b)} }}" for b in branches)
-            )
-        for names, rows in grp.values:
-            for n in names:
-                if n not in vars_:
-                    vars_.append(n)
-            cells = " ".join(
-                "(" + " ".join(term_to_surface(c) for c in row) + ")"
-                for row in rows
-            )
-            head = " ".join(f"?{n}" for n in names)
-            parts.append(f"VALUES ({head}) {{ {cells} }}")
+        parts: list[str] = []
+        consumed = [0, 0, 0, 0, 0, 0]
+
+        def emit_segment(cut) -> None:
+            # render the freely-reorderable join elements between the
+            # previous cut and this one, in place
+            p_end, pa_end, v_end, s_end, u_end, q_end = cut
+            by_graph: dict[tuple | None, list[str]] = {}
+            for pat in grp.patterns[consumed[0] : p_end]:
+                text = f"{slot(pat.s)} {slot(pat.p)} {slot(pat.o)} ."
+                by_graph.setdefault(pat.g, []).append(text)
+            for pp in grp.paths[consumed[1] : pa_end]:
+                text = (
+                    f"{slot(pp.s)} {path_to_sparql(pp.path)} {slot(pp.o)} ."
+                )
+                by_graph.setdefault(pp.g, []).append(text)
+            for key, triples in by_graph.items():
+                block = " ".join(triples)
+                if key is None:
+                    parts.append(block)
+                elif key[0] == "term":
+                    # graph slots carry the BARE uri for constants
+                    parts.append(f"GRAPH <{key[1]}> {{ {block} }}")
+                else:
+                    parts.append(f"GRAPH {slot(key)} {{ {block} }}")
+            for names, rows in grp.values[consumed[2] : v_end]:
+                for n in names:
+                    if n not in vars_:
+                        vars_.append(n)
+                parts.append(_values_block(names, rows))
+            for branches in grp.unions[consumed[4] : u_end]:
+                parts.append(
+                    " UNION ".join(f"{{ {body(b)} }}" for b in branches)
+                )
+            consumed[:] = [p_end, pa_end, v_end, s_end, u_end, q_end]
+
+        # OPTIONAL is a LeftJoin at its TEXTUAL position (§18.2.2.6):
+        # replay the group's ordered event list so the shipped text
+        # preserves which elements precede each OPTIONAL (serializing
+        # all OPTIONALs last would change the answer whenever a later
+        # pattern/UNION/VALUES shares variables with one)
+        for kind, payload, cut in grp.events:
+            if kind == "optional":
+                emit_segment(cut)
+                parts.append(f"OPTIONAL {{ {body(payload)} }}")
+        from ontograph_spark.query.sparql import _group_cut
+
+        emit_segment(_group_cut(grp))
         for fx in grp.filters:
+            # FILTERs are group-scoped (§17.2) — position-free
             parts.append(f"FILTER({_filter_text(fx)})")
-        for opt in grp.optionals:
-            parts.append(f"OPTIONAL {{ {body(opt)} }}")
         return " ".join(parts)
 
     def _filter_text(fx) -> str:
@@ -381,12 +417,7 @@ def service_query_text(
         return f"ASK {{ {inner} }}", []
     if bindings is not None:
         names, rows = bindings
-        cells = " ".join(
-            "(" + " ".join(term_to_surface(c) for c in row) + ")"
-            for row in rows
-        )
-        head = " ".join(f"?{n}" for n in names)
-        inner += f" VALUES ({head}) {{ {cells} }}"
+        inner += " " + _values_block(names, rows)
     return (
         f"SELECT {' '.join(f'?{v}' for v in vars_)} WHERE {{ {inner} }}",
         vars_,

@@ -1530,6 +1530,16 @@ def _graph_cond(g: Slot | None, dataset: list[str]) -> Column | None:
     return None
 
 
+def _graph_term(col: Column) -> Column:
+    """The graph column carries BARE URIs (the store convention); a
+    ``GRAPH ?var`` binding is an RDF term like any other, so the
+    variable binds the ENCODED ``<uri>`` resource term — making it
+    joinable with VALUES/term constants, correct under isIRI/sameTerm
+    and the §15.1 IRI tier, and identical to what a SERVICE round trip
+    returns for a remote graph variable."""
+    return F.concat(F.lit("<"), col, F.lit(">"))
+
+
 def _scan(quads: DataFrame, pat: Pattern, dataset: list[str]) -> DataFrame:
     """One triple pattern → filter + project on the quad table. Constant
     slots become pushable equality predicates; a variable repeated within
@@ -1544,14 +1554,15 @@ def _scan(quads: DataFrame, pat: Pattern, dataset: list[str]) -> DataFrame:
     gcond = _graph_cond(pat.g, dataset)
     if gcond is not None:
         conds.append(gcond)
-    for _attr, col, (kind, val) in slots:
+    for attr, col, (kind, val) in slots:
+        enc = _graph_term(F.col(col)) if attr == "g" else F.col(col)
         if kind == "term":
             conds.append(F.col(col) == F.lit(val))
         elif val in seen:
-            conds.append(F.col(col) == F.col(seen[val]))
+            conds.append(enc == F.col(seen[val]))
         else:
             seen[val] = col
-            proj.append(F.col(col).alias(val))
+            proj.append(enc.alias(val))
     df = quads
     for c in conds:
         df = df.where(c)
@@ -1741,7 +1752,7 @@ def _compile_path_pattern(
             )
         pairs = _path_edges(quads, pp.path, pp.g, dataset)
         conds: list[Column] = []
-        proj: list[Column] = [F.col("__g").alias(gname)]
+        proj: list[Column] = [_graph_term(F.col("__g")).alias(gname)]
         if s_kind == "term":
             conds.append(F.col("src") == F.lit(s_val))
         else:
@@ -1761,7 +1772,7 @@ def _compile_path_pattern(
             # the term occurs there
             graphs = (
                 _scoped(quads, pp.g, dataset)
-                .select(F.col("graph").alias(gname))
+                .select(_graph_term(F.col("graph")).alias(gname))
                 .distinct()
             )
             if s_kind == "term" and o_kind == "term":

@@ -770,7 +770,7 @@ def test_never_bound_vars_match_naive(spark):
 # ---------------------------------------------------------------------------
 
 
-GRAPHS = ["<u:g1>", "<u:g2>"]
+GRAPHS = ["u:g1", "u:g2"]  # graph column holds BARE uris (store convention)
 
 
 def _gquads(rng):
@@ -829,7 +829,7 @@ def test_paths_under_graph_var_match_naive(spark):
                 if nullable(path):
                     ys.add(const)
                 for y in ys:
-                    want[(g, y)] += 1
+                    want[(f"<{g}>", y)] += 1
             cols = ["g", "y"]
         else:
             q = (
@@ -840,7 +840,7 @@ def test_paths_under_graph_var_match_naive(spark):
             for g in graphs:
                 tg = [(s, p, o) for s, p, o, gg in quads if gg == g]
                 for x, y in _naive_path_pairs(tg, path):
-                    want[(g, x, y)] += 1
+                    want[(f"<{g}>", x, y)] += 1
             cols = ["g", "x", "y"]
         rows = sparql_select(_df_g(spark, quads), q).collect()
         got = Counter(tuple(getattr(r, c) for c in cols) for r in rows)

@@ -551,11 +551,33 @@ def test_create_load_with_prologue_and_pnames(endpoint, tmp_path):
 
 def test_load_silent_does_not_swallow_usage_error(endpoint, tmp_path):
     """LOAD SILENT swallows READ failures only — the local 'N-Triples
-    needs INTO GRAPH' usage error still raises."""
+    needs INTO GRAPH' usage error still raises, and so does the N-Quads
+    'graph-less statements' twin."""
     nt = tmp_path / "u.nt"
     nt.write_text('<u:a> <u:p> "one" .\n')
     with pytest.raises(SparqlSyntaxError, match="INTO GRAPH"):
         endpoint.update(f"LOAD SILENT <file://{nt}>")
+    nq = tmp_path / "u.nq"
+    nq.write_text('<u:a> <u:p> "one" .\n')  # graph-less statement
+    with pytest.raises(SparqlSyntaxError, match="graph-less"):
+        endpoint.update(f"LOAD SILENT <file://{nq}>")
+
+
+def test_create_load_resolve_base(endpoint, tmp_path):
+    """Relative IRIREFs in CREATE/LOAD resolve against the prologue's
+    BASE instead of silently using the relative text."""
+    endpoint.update("BASE <https://ex.org/data/>\nCREATE GRAPH <made>")
+    assert endpoint.client("https://ex.org/data/made").size() == 0
+    nt = tmp_path / "b.nt"
+    nt.write_text('<u:a> <u:p> "one" .\n')
+    endpoint.update(
+        f"BASE <https://ex.org/data/>\n"
+        f"LOAD <file://{nt}> INTO GRAPH <loaded>"
+    )
+    assert endpoint.client("https://ex.org/data/loaded").size() == 1
+    # empty-prefix pname also routes to the fast form
+    endpoint.update("PREFIX : <https://ex.org/p#>\nCREATE GRAPH :g")
+    assert endpoint.client("https://ex.org/p#g").size() == 0
 
 
 def test_with_delete_where_shorthand(endpoint, client):

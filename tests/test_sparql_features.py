@@ -240,7 +240,7 @@ def test_path_under_graph_var_binds_graph(chain):
     q = "SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x <urn:chain#sub>+ ?y } }"
     rows = {tuple(r) for r in sparql_select(chain.df(), q).collect()}
     assert len(rows) == 8  # the full a/b/c/d/x closure, all in urn:chain
-    assert {r[0] for r in rows} == {"urn:chain"}
+    assert {r[0] for r in rows} == {"<urn:chain>"}
 
 
 def test_path_under_graph_var_scopes_per_graph(spark):
@@ -268,8 +268,8 @@ def test_path_under_graph_var_scopes_per_graph(spark):
     q = "SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x <urn:pg#sub>+ ?y } }"
     rows = {tuple(r) for r in sparql_select(both, q).collect()}
     assert rows == {
-        ("urn:pg1", "<urn:pg#a>", "<urn:pg#b>"),
-        ("urn:pg2", "<urn:pg#b>", "<urn:pg#c>"),
+        ("<urn:pg1>", "<urn:pg#a>", "<urn:pg#b>"),
+        ("<urn:pg2>", "<urn:pg#b>", "<urn:pg#c>"),
     }
     # same data WITHOUT graph scoping: the union graph closes across
     rows = {
@@ -1006,7 +1006,7 @@ def two_graphs(spark):
 def test_from_named_scopes_graph_var(two_graphs):
     q = "SELECT ?g ?s FROM NAMED <urn:fn1> WHERE { GRAPH ?g { ?s ?p ?o } }"
     rows = {tuple(r) for r in sparql_select(two_graphs, q).collect()}
-    assert rows == {("urn:fn1", "<urn:fn#a>")}
+    assert rows == {("<urn:fn1>", "<urn:fn#a>")}
 
 
 def test_from_named_scopes_graph_term(two_graphs):
@@ -1229,8 +1229,8 @@ def test_graph_var_subquery_binds_graph(scoped):
     } }"""
     rows = {tuple(r) for r in sparql_select(scoped, q).collect()}
     assert rows == {
-        ("urn:sg1", "<urn:sc#s1>"),
-        ("urn:sg2", "<urn:sc#s2>"),
+        ("<urn:sg1>", "<urn:sc#s1>"),
+        ("<urn:sg2>", "<urn:sc#s2>"),
     }
 
 
@@ -1239,7 +1239,7 @@ def test_graph_var_agg_subquery_groups_per_graph(scoped):
         { SELECT (COUNT(?s) AS ?n) WHERE { ?s <urn:sc#type> <urn:sc#T> } }
     } }"""
     rows = {tuple(r) for r in sparql_select(scoped, q).collect()}
-    assert rows == {("urn:sg1", 1), ("urn:sg2", 1)}
+    assert rows == {("<urn:sg1>", 1), ("<urn:sg2>", 1)}
 
 
 def test_graph_var_limit_subquery_raises(scoped):

@@ -297,6 +297,59 @@ def test_bound_join_skips_remote_optional_vars(spark, server, client):
     client.delete_all_matches("", "", "")
 
 
+def test_service_ships_optional_at_textual_position(
+    spark, server, client, monkeypatch
+):
+    """OPTIONAL is a LeftJoin at its textual position (§18.2.2.6): a
+    SERVICE body with a pattern AFTER the OPTIONAL that shares its
+    variable must ship with the OPTIONAL in the middle — serializing it
+    last would flip the answer from empty to one row."""
+    from ontograph_spark.query import federation, sparql_select
+
+    client.add_triples(
+        [
+            new_triple(
+                mk_resource(f"{U}#a"),
+                mk_resource(f"{U}#p"),
+                mk_resource(f"{U}#o1"),
+            ),
+            new_triple(
+                mk_resource(f"{U}#a"),
+                mk_resource(f"{U}#q"),
+                mk_resource(f"{U}#v1"),
+            ),
+            new_triple(
+                mk_resource(f"{U}#a"),
+                mk_resource(f"{U}#r"),
+                mk_resource(f"{U}#v2"),
+            ),
+        ]
+    )
+    local = spark.createDataFrame(
+        [("<u:x>", "<u:y>", '"z"', "g")],
+        "subj string, pred string, obj string, graph string",
+    )
+    shipped: list[str] = []
+    real_fetch = federation.fetch_service_bindings
+
+    def spy(url, query, timeout=30.0):
+        shipped.append(query)
+        return real_fetch(url, query, timeout)
+
+    monkeypatch.setattr(federation, "fetch_service_bindings", spy)
+    q = (
+        f"SELECT ?s ?o ?v WHERE {{ SERVICE <{server.url}> {{ GRAPH <{U}> {{ "
+        f"?s <{U}#p> ?o OPTIONAL {{ ?s <{U}#q> ?v }} ?s <{U}#r> ?v "
+        f"}} }} }}"
+    )
+    # LeftJoin first binds v=v1; the later r-pattern requires v=v2 ⇒ no
+    # solution. An OPTIONAL-last serialization would return one row.
+    assert sparql_select(local, q).collect() == []
+    text = shipped[-1]
+    assert text.index("OPTIONAL") < text.index(f"<{U}#r>")
+    client.delete_all_matches("", "", "")
+
+
 def test_service_silent_swallows_dead_endpoint(spark):
     from ontograph_spark.query import sparql_select
     from ontograph_spark.query.sparql import SparqlSyntaxError

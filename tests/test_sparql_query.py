@@ -214,9 +214,23 @@ def test_graph_variable_binds_graph_column(spark, store):
     both = store.df().unionByName(other.df())
     q = "SELECT DISTINCT ?g WHERE { GRAPH ?g { ?s ?p ?o } }"
     rows = {r[0] for r in sparql_select(both, q).collect()}
-    assert rows == {U, "urn:other"}
+    # graph names are IRIs: ?g binds the encoded resource term, so it
+    # joins with VALUES/constants and serializes as a uri binding
+    assert rows == {f"<{U}>", "<urn:other>"}
     q2 = "SELECT ?s WHERE { GRAPH <urn:other> { ?s ?p ?o } }"
     assert [r[0] for r in sparql_select(both, q2).collect()] == ["<urn:other#x>"]
+    # the encoded binding makes ?g a first-class term: VALUES joins it
+    # and FILTER equality against an IRI constant works
+    q3 = (
+        "SELECT ?s WHERE { GRAPH ?g { ?s ?p ?o } "
+        "VALUES ?g { <urn:other> } }"
+    )
+    assert [r[0] for r in sparql_select(both, q3).collect()] == ["<urn:other#x>"]
+    q4 = (
+        "SELECT ?s WHERE { GRAPH ?g { ?s ?p ?o } "
+        "FILTER(?g = <urn:other> && isIRI(?g)) }"
+    )
+    assert [r[0] for r in sparql_select(both, q4).collect()] == ["<urn:other#x>"]
 
 
 def test_count_distinct_var(store):
